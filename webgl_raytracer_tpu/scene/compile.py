@@ -1,0 +1,234 @@
+"""Scene compile: geometry + BVH -> flat device-ready SoA buffers.
+
+Replaces the reference's texel packers (/root/reference/src/packing.js): on
+TPU there is no texture indirection — the flattened BVH and primitive data
+are plain HBM arrays indexed by integers.
+
+The unified primitive table is stored in *leaf order* (the order prims
+appear in BVH leaves), so a leaf's primitives are contiguous rows and the
+traversal kernel does a single contiguous gather per candidate:
+
+    prim_a[i], prim_b[i], prim_c[i]   three f32x4 rows whose meaning
+                                      depends on prim_type[i]:
+      triangle: v0.xyz | v1.xyz | v2.xyz
+      sphere:   center.xyz, radius | 0 | 0
+      cylinder: p1.xyz, radius | p2.xyz | 0
+
+    prim_type[i]  0/1/2, prim_local[i] original per-type index,
+    prim_color[i] base color row.
+
+Per-type side tables (tri_normals, tri_flags) remain indexed by the local
+triangle index for shading-time gathers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+import jax
+import numpy as np
+
+from ..models.molecular import Geometry
+from .bvh import BVH, PRIM_CYLINDER, PRIM_SPHERE, PRIM_TRIANGLE, build_bvh
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad axis 0 to length n with zeros (keeps at least one row)."""
+    if a.shape[0] >= n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SceneBuffers:
+    """Flat scene arrays; a pytree whose leaves go straight to the device.
+
+    Counts are static (python ints) so jit specializes per scene shape.
+    """
+
+    # BVH
+    node_bmin: np.ndarray        # f32[Nn,3]
+    node_bmax: np.ndarray        # f32[Nn,3]
+    node_meta: np.ndarray        # i32[Nn,3] (leftFirst, primCount, rightChild)
+
+    # Unified leaf-ordered primitive table
+    prim_a: np.ndarray           # f32[Np,4]
+    prim_b: np.ndarray           # f32[Np,4]
+    prim_c: np.ndarray           # f32[Np,4]
+    prim_type: np.ndarray        # i32[Np]
+    prim_local: np.ndarray       # i32[Np]
+    prim_color: np.ndarray       # f32[Np,3]
+
+    # Per-type shading side tables
+    tri_verts: np.ndarray        # f32[Nt,3,3]
+    tri_normals: np.ndarray      # f32[Nt,3,3]
+    tri_colors: np.ndarray       # f32[Nt,3]
+    tri_flags: np.ndarray        # f32[Nt]
+    sphere_centers: np.ndarray   # f32[Ns,3]
+    sphere_radii: np.ndarray     # f32[Ns]
+    sphere_colors: np.ndarray    # f32[Ns,3]
+    cyl_p1: np.ndarray           # f32[Nc,3]
+    cyl_p2: np.ndarray           # f32[Nc,3]
+    cyl_radii: np.ndarray        # f32[Nc]
+    cyl_colors: np.ndarray       # f32[Nc,3]
+
+    tri_count: int = field(metadata=dict(static=True), default=0)
+    sphere_count: int = field(metadata=dict(static=True), default=0)
+    cylinder_count: int = field(metadata=dict(static=True), default=0)
+    node_count: int = field(metadata=dict(static=True), default=0)
+    prim_count: int = field(metadata=dict(static=True), default=0)
+    max_depth: int = field(metadata=dict(static=True), default=32)
+
+    def device_put(self, device=None) -> "SceneBuffers":
+        import jax.numpy as jnp
+
+        arrays = {
+            f.name: jax.device_put(jnp.asarray(getattr(self, f.name)), device)
+            for f in fields(self)
+            if not f.metadata.get("static", False)
+        }
+        statics = {
+            f.name: getattr(self, f.name)
+            for f in fields(self)
+            if f.metadata.get("static", False)
+        }
+        return SceneBuffers(**arrays, **statics)
+
+
+def compile_scene(
+    geometry: Geometry | None = None,
+    tri_verts: np.ndarray | None = None,
+    tri_normals: np.ndarray | None = None,
+    tri_colors: np.ndarray | None = None,
+    tri_flags: np.ndarray | None = None,
+    max_leaf_size: int = 4,
+    max_depth: int = 32,
+    bvh: BVH | None = None,
+) -> SceneBuffers:
+    """Compile spheres/cylinders (from Geometry) + an optional triangle mesh
+    into flat SoA buffers, building the unified BVH unless one is supplied.
+
+    tri_verts: f32[Nt,3,3]; tri_normals: f32[Nt,3,3] (per-vertex, defaults to
+    face normals); tri_colors: f32[Nt,3]; tri_flags: f32[Nt].
+    """
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    if geometry is None:
+        geometry = Geometry(z3, z1, z3, z3, z3, z1, z3)
+
+    tv = np.zeros((0, 3, 3), np.float32) if tri_verts is None else np.asarray(tri_verts, np.float32).reshape(-1, 3, 3)
+    nt = tv.shape[0]
+
+    if tri_normals is None:
+        if nt:
+            e1 = tv[:, 1] - tv[:, 0]
+            e2 = tv[:, 2] - tv[:, 0]
+            fn = np.cross(e1, e2)
+            norm = np.linalg.norm(fn, axis=1, keepdims=True)
+            fn = fn / np.where(norm > 0, norm, 1.0)
+            tn = np.repeat(fn[:, None, :], 3, axis=1).astype(np.float32)
+        else:
+            tn = np.zeros((0, 3, 3), np.float32)
+    else:
+        tn = np.asarray(tri_normals, np.float32).reshape(-1, 3, 3)
+
+    tc = np.full((nt, 3), 0.8, np.float32) if tri_colors is None else np.asarray(tri_colors, np.float32).reshape(-1, 3)
+    tf = np.zeros(nt, np.float32) if tri_flags is None else np.asarray(tri_flags, np.float32).reshape(-1)
+
+    if bvh is None:
+        bvh = build_bvh(
+            tri_verts=tv,
+            sphere_centers=geometry.sphere_centers,
+            sphere_radii=geometry.sphere_radii,
+            cyl_p1=geometry.cyl_p1,
+            cyl_p2=geometry.cyl_p2,
+            cyl_radii=geometry.cyl_radii,
+            max_leaf_size=max_leaf_size,
+            max_depth=max_depth,
+        )
+
+    ns = geometry.num_spheres
+    nc = geometry.num_cylinders
+    np_total = max(1, bvh.prim_count)
+
+    # Build the unified leaf-ordered primitive table.
+    prim_a = np.zeros((np_total, 4), np.float32)
+    prim_b = np.zeros((np_total, 4), np.float32)
+    prim_c = np.zeros((np_total, 4), np.float32)
+    prim_type = np.zeros(np_total, np.int32)
+    prim_local = np.zeros(np_total, np.int32)
+    prim_color = np.zeros((np_total, 3), np.float32)
+
+    if bvh.prim_count:
+        gid = bvh.prim_order
+        ptype = np.where(gid < nt, PRIM_TRIANGLE, np.where(gid < nt + ns, PRIM_SPHERE, PRIM_CYLINDER))
+        local = np.where(gid < nt, gid, np.where(gid < nt + ns, gid - nt, gid - nt - ns))
+        prim_type[:] = ptype
+        prim_local[:] = local
+
+        tri_m = ptype == PRIM_TRIANGLE
+        sph_m = ptype == PRIM_SPHERE
+        cyl_m = ptype == PRIM_CYLINDER
+
+        if tri_m.any():
+            li = local[tri_m]
+            prim_a[tri_m, :3] = tv[li, 0]
+            prim_b[tri_m, :3] = tv[li, 1]
+            prim_c[tri_m, :3] = tv[li, 2]
+            prim_color[tri_m] = tc[li]
+        if sph_m.any():
+            li = local[sph_m]
+            prim_a[sph_m, :3] = geometry.sphere_centers[li]
+            prim_a[sph_m, 3] = geometry.sphere_radii[li]
+            prim_color[sph_m] = geometry.sphere_colors[li]
+        if cyl_m.any():
+            li = local[cyl_m]
+            prim_a[cyl_m, :3] = geometry.cyl_p1[li]
+            prim_a[cyl_m, 3] = geometry.cyl_radii[li]
+            prim_b[cyl_m, :3] = geometry.cyl_p2[li]
+            prim_color[cyl_m] = geometry.cyl_colors[li]
+
+    def at_least_one(a: np.ndarray) -> np.ndarray:
+        return a if a.shape[0] > 0 else _pad_rows(a, 1)
+
+    return SceneBuffers(
+        node_bmin=bvh.node_bmin,
+        node_bmax=bvh.node_bmax,
+        node_meta=bvh.node_meta,
+        prim_a=prim_a,
+        prim_b=prim_b,
+        prim_c=prim_c,
+        prim_type=prim_type,
+        prim_local=prim_local,
+        prim_color=prim_color,
+        tri_verts=at_least_one(tv),
+        tri_normals=at_least_one(tn),
+        tri_colors=at_least_one(tc),
+        tri_flags=at_least_one(tf),
+        sphere_centers=at_least_one(geometry.sphere_centers),
+        sphere_radii=at_least_one(geometry.sphere_radii),
+        sphere_colors=at_least_one(geometry.sphere_colors),
+        cyl_p1=at_least_one(geometry.cyl_p1),
+        cyl_p2=at_least_one(geometry.cyl_p2),
+        cyl_radii=at_least_one(geometry.cyl_radii),
+        cyl_colors=at_least_one(geometry.cyl_colors),
+        tri_count=nt,
+        sphere_count=ns,
+        cylinder_count=nc,
+        node_count=bvh.node_count,
+        prim_count=bvh.prim_count,
+        max_depth=max_depth,
+    )
+
+
+def scene_bounds(scene: SceneBuffers) -> tuple[np.ndarray, np.ndarray]:
+    """World AABB of the scene (root BVH node bounds)."""
+    return np.asarray(scene.node_bmin[0]), np.asarray(scene.node_bmax[0])
+
+
+def scene_scale(scene: SceneBuffers) -> float:
+    """Half-diagonal of the scene bounds, min 1e-3 (main.js:324-328)."""
+    lo, hi = scene_bounds(scene)
+    return float(max(1e-3, 0.5 * np.linalg.norm(hi - lo)))
