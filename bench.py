@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Headline benchmark: Mrays/sec/chip at 1080p on the reference's
+1000-random-sphere scaling scene (src/main.js:348-460; BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mray/s", "vs_baseline": N/100}
+
+vs_baseline is relative to the BASELINE.json north-star target of
+100 Mrays/sec/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def random_sphere_geometry(count: int):
+    from webgl_raytracer_tpu.models.molecular import Geometry
+
+    rng = np.random.default_rng(12345)
+    cube = count ** (1 / 3) * 2
+    centers = ((rng.random((count, 3)) - 0.5) * cube).astype(np.float32)
+    radii = (0.15 + rng.random(count) * 0.25).astype(np.float32)
+    colors = rng.random((count, 3)).astype(np.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    return Geometry(centers, radii, colors, z3, z3, z1, z3)
+
+
+def main() -> None:
+    import jax
+
+    from webgl_raytracer_tpu.render import Renderer
+    from webgl_raytracer_tpu.render.config import split_settings
+    from webgl_raytracer_tpu.render.integrator import render_batch_stats
+    from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
+    from webgl_raytracer_tpu.scene import compile_scene
+
+    width, height = 1920, 1080
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+    scene = compile_scene(random_sphere_geometry(1000))
+    r = Renderer(scene, width=width, height=height)
+    r.settings.tone_map = "linear"
+
+    # Count rays once with the instrumented kernel.
+    basis = r.camera.basis()
+    flags, uniforms = split_settings(
+        r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
+        has_env=False, has_volume=False, clip=None,
+    )
+    px, py = r._pixel_grids()
+    color, nrays = render_batch_stats(
+        r.scene, None, None, flags, uniforms, px, py, np.uint32(0)
+    )
+    jax.block_until_ready(color)
+    rays_per_frame = int(nrays)
+
+    # Warm up the production kernel, then time it.
+    r.render_frame()
+    jax.block_until_ready(r._accum)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        r.render_frame()
+    jax.block_until_ready(r._accum)
+    dt = (time.perf_counter() - t0) / frames
+
+    mrays = rays_per_frame / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays/sec/chip @1080p, 1000-sphere scene, 4 bounces + "
+                  "3-light NEE shadows",
+        "value": round(mrays, 2),
+        "unit": "Mray/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+        "detail": {
+            "frame_ms": round(dt * 1000, 1),
+            "rays_per_frame": rays_per_frame,
+            "resolution": f"{width}x{height}",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

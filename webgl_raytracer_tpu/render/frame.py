@@ -1,0 +1,169 @@
+"""Progressive frame rendering and accumulation.
+
+The accumulation protocol matches the reference (webgl.js:1551-1558,
+main.js:1602-1844): each frame traces spp new samples per pixel and folds
+them into a running fp32 mean `(prev*N + x)/(N+1)`; any camera/material/env
+change resets N to 0. On TPU the ping-pong FBO pair becomes a single HBM
+array updated functionally inside jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.tonemap import apply_tonemap
+from ..scene.camera import OrbitCamera
+from ..scene.compile import SceneBuffers, scene_bounds, scene_scale
+from .config import RenderSettings, split_settings
+from .integrator import render_batch, render_visualization
+from .lights import light_dirs_for_camera
+
+
+@jax.jit
+def _accumulate(prev, color, frame_index):
+    fi = frame_index.astype(jnp.float32)
+    return jnp.where(frame_index == 0, color, (prev * fi + color) / (fi + 1.0))
+
+
+class Renderer:
+    """Owns the compiled scene, render settings, camera, and the progressive
+    accumulation state — the equivalent of the reference's render loop state
+    (glState + renderState + cameraState)."""
+
+    def __init__(
+        self,
+        scene: SceneBuffers,
+        settings: RenderSettings | None = None,
+        env=None,
+        volume=None,
+        width: int = 800,
+        height: int = 600,
+        device=None,
+        auto_fit: bool = True,
+    ):
+        self.settings = settings or RenderSettings()
+        self.scene = scene.device_put(device) if isinstance(scene.node_bmin, np.ndarray) else scene
+        self.env = env
+        self.volume = volume
+        self.width = int(width)
+        self.height = int(height)
+        self.camera = OrbitCamera(width=self.width, height=self.height)
+        self.frame_index = 0
+        self._accum = None
+        self._px = None
+        self._py = None
+
+        lo, hi = scene_bounds(self.scene)
+        self.bounds = (np.asarray(lo), np.asarray(hi))
+        self.scene_scale = scene_scale(self.scene)
+        # Scale-derived ray bias (main.js:328-330).
+        suggested = max(1e-5, self.scene_scale * 1e-5)
+        self.settings.ray_bias = suggested
+        self.settings.t_min = suggested
+        if auto_fit:
+            self.camera.fit_to_bounds(*self.bounds)
+
+    # -- state management ---------------------------------------------------
+
+    def reset_accumulation(self) -> None:
+        self.frame_index = 0
+
+    def resize(self, width: int, height: int) -> None:
+        if width != self.width or height != self.height:
+            self.width, self.height = int(width), int(height)
+            self.camera.width, self.camera.height = self.width, self.height
+            self._accum = None
+            self._px = None
+            self.reset_accumulation()
+        self.camera.width, self.camera.height = self.width, self.height
+
+    def _pixel_grids(self):
+        if self._px is None:
+            xs = np.tile(np.arange(self.width, dtype=np.uint32), self.height)
+            # gl_FragCoord convention: y = 0 is the bottom row.
+            ys = np.repeat(np.arange(self.height, dtype=np.uint32)[::-1], self.width)
+            self._px = jnp.asarray(xs)
+            self._py = jnp.asarray(ys)
+        return self._px, self._py
+
+    def active_clip_plane(self, basis):
+        """Camera-forward clip plane (main.js getActiveClipPlane :1384-1416,
+        without the lock feature). Returns None or (normal, offset, side)."""
+        if not self.settings.clip_enabled:
+            return None
+        normal = np.asarray(basis.forward, np.float64)
+        normal = normal / (np.linalg.norm(normal) or 1.0)
+        plane_point = np.asarray(basis.origin) + normal * self.settings.clip_distance
+        offset = float(normal @ plane_point)
+        cam_side = float(normal @ np.asarray(basis.origin)) - offset
+        side = 1.0 if cam_side >= 0 else -1.0
+        return (normal.astype(np.float32), offset, side)
+
+    # -- rendering ----------------------------------------------------------
+
+    def render_frame(self) -> bool:
+        """Trace one progressive frame into the accumulator. Returns False
+        when max_frames has been reached (accumulation is kept)."""
+        s = self.settings
+        if s.max_frames > 0 and self.frame_index >= s.max_frames:
+            return False
+
+        basis = self.camera.basis()
+        light_dirs = light_dirs_for_camera(s.lights, basis)
+        clip = self.active_clip_plane(basis)
+        flags, uniforms = split_settings(
+            s, basis, light_dirs,
+            has_env=self.env is not None,
+            has_volume=self.volume is not None,
+            clip=clip,
+        )
+        px, py = self._pixel_grids()
+
+        if flags.vis_mode > 0:
+            color = render_visualization(
+                self.scene, self.env, self.volume, flags, uniforms, px, py,
+                jnp.uint32(self.frame_index),
+            )
+            self._accum = color
+            self.frame_index = 1
+            return True
+
+        color = render_batch(
+            self.scene, self.env, self.volume, flags, uniforms, px, py,
+            jnp.uint32(self.frame_index),
+        )
+        if self._accum is None or self.frame_index == 0:
+            self._accum = color
+        else:
+            self._accum = _accumulate(self._accum, color, jnp.uint32(self.frame_index))
+        self.frame_index += 1
+        return True
+
+    def render(self, frames: int | None = None) -> np.ndarray:
+        """Render `frames` progressive frames (default: settings.max_frames)
+        and return the tone-mapped image u8[H,W,3]."""
+        n = frames if frames is not None else max(1, self.settings.max_frames)
+        for _ in range(n):
+            if not self.render_frame():
+                break
+        return self.image()
+
+    # -- output -------------------------------------------------------------
+
+    def accumulated(self) -> np.ndarray:
+        """Linear accumulated radiance f32[H,W,3] (top row first)."""
+        if self._accum is None:
+            return np.zeros((self.height, self.width, 3), np.float32)
+        img = np.asarray(self._accum).reshape(self.height, self.width, 3)
+        return img
+
+    def image(self) -> np.ndarray:
+        """Tone-mapped display image f32[H,W,3] in [0,1]."""
+        linear = self.accumulated()
+        mode = self.settings.tone_map if self.settings.vis_mode == 0 else "linear"
+        return np.asarray(apply_tonemap(jnp.asarray(linear), mode))
+
+    def image_u8(self) -> np.ndarray:
+        return (np.clip(self.image(), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)

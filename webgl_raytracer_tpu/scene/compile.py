@@ -74,12 +74,22 @@ class SceneBuffers:
     cyl_radii: np.ndarray        # f32[Nc]
     cyl_colors: np.ndarray       # f32[Nc,3]
 
+    # Cluster layout for the wavefront tracer (ops/wavefront.py): clusters
+    # are SAH leaves of up to cluster_size prims, padded with type=-1 rows.
+    # cluster_prims row: [a.xyz, radius | b.xyz, local | c.xyz, type].
+    cluster_prims: np.ndarray = None    # f32[K,C,12]
+    cluster_color: np.ndarray = None    # f32[K*C,3]
+    cluster_bmin: np.ndarray = None     # f32[K,3]
+    cluster_bmax: np.ndarray = None     # f32[K,3]
+
     tri_count: int = field(metadata=dict(static=True), default=0)
     sphere_count: int = field(metadata=dict(static=True), default=0)
     cylinder_count: int = field(metadata=dict(static=True), default=0)
     node_count: int = field(metadata=dict(static=True), default=0)
     prim_count: int = field(metadata=dict(static=True), default=0)
     max_depth: int = field(metadata=dict(static=True), default=32)
+    num_clusters: int = field(metadata=dict(static=True), default=1)
+    cluster_size: int = field(metadata=dict(static=True), default=64)
 
     def device_put(self, device=None) -> "SceneBuffers":
         import jax.numpy as jnp
@@ -105,6 +115,7 @@ def compile_scene(
     tri_flags: np.ndarray | None = None,
     max_leaf_size: int = 4,
     max_depth: int = 32,
+    cluster_size: int = 64,
     bvh: BVH | None = None,
 ) -> SceneBuffers:
     """Compile spheres/cylinders (from Geometry) + an optional triangle mesh
@@ -193,7 +204,15 @@ def compile_scene(
     def at_least_one(a: np.ndarray) -> np.ndarray:
         return a if a.shape[0] > 0 else _pad_rows(a, 1)
 
+    cl = _build_clusters(geometry, tv, tc, cluster_size, nt, ns)
+
     return SceneBuffers(
+        cluster_prims=cl[0],
+        cluster_color=cl[1],
+        cluster_bmin=cl[2],
+        cluster_bmax=cl[3],
+        num_clusters=cl[0].shape[0],
+        cluster_size=cluster_size,
         node_bmin=bvh.node_bmin,
         node_bmax=bvh.node_bmax,
         node_meta=bvh.node_meta,
@@ -221,6 +240,78 @@ def compile_scene(
         prim_count=bvh.prim_count,
         max_depth=max_depth,
     )
+
+
+def _build_clusters(geometry: Geometry, tv: np.ndarray, tc: np.ndarray,
+                    cluster_size: int, nt: int, ns: int):
+    """Group primitives into spatially coherent clusters (SAH leaves of up
+    to cluster_size prims) and pack each as padded [C,12] rows for the
+    wavefront tracer. Returns (prims f32[K,C,12], colors f32[K*C,3],
+    bmin f32[K,3], bmax f32[K,3])."""
+    cbvh = build_bvh(
+        tri_verts=tv,
+        sphere_centers=geometry.sphere_centers,
+        sphere_radii=geometry.sphere_radii,
+        cyl_p1=geometry.cyl_p1,
+        cyl_p2=geometry.cyl_p2,
+        cyl_radii=geometry.cyl_radii,
+        max_leaf_size=cluster_size,
+        max_depth=48,
+    )
+    leaf_mask = cbvh.node_meta[:, 1] > 0
+    leaf_meta = cbvh.node_meta[leaf_mask]
+    k = max(1, int(leaf_mask.sum()))
+    c = cluster_size
+
+    prims = np.zeros((k, c, 12), np.float32)
+    prims[..., 11] = -1.0
+    colors = np.zeros((k, c, 3), np.float32)
+    bmin = np.zeros((k, 3), np.float32)
+    bmax = np.zeros((k, 3), np.float32)
+
+    if cbvh.prim_count:
+        bmin[:] = cbvh.node_bmin[leaf_mask]
+        bmax[:] = cbvh.node_bmax[leaf_mask]
+        nc = geometry.num_cylinders
+
+        # Flat (cluster, slot) coordinates of every real primitive.
+        counts = leaf_meta[:, 1]
+        k_idx = np.repeat(np.arange(k), counts)
+        slot_idx = np.concatenate([np.arange(n) for n in counts]) if k else np.zeros(0, int)
+        order = np.concatenate([
+            cbvh.prim_order[lf:lf + n] for lf, n in zip(leaf_meta[:, 0], counts)
+        ])
+
+        ptype = np.where(order < nt, PRIM_TRIANGLE,
+                         np.where(order < nt + ns, PRIM_SPHERE, PRIM_CYLINDER))
+        local = np.where(order < nt, order,
+                         np.where(order < nt + ns, order - nt, order - nt - ns))
+
+        prims[k_idx, slot_idx, 7] = local.astype(np.float32)
+        prims[k_idx, slot_idx, 11] = ptype.astype(np.float32)
+
+        tri_m = ptype == PRIM_TRIANGLE
+        sph_m = ptype == PRIM_SPHERE
+        cyl_m = ptype == PRIM_CYLINDER
+        if tri_m.any():
+            li = local[tri_m]
+            prims[k_idx[tri_m], slot_idx[tri_m], 0:3] = tv[li, 0]
+            prims[k_idx[tri_m], slot_idx[tri_m], 4:7] = tv[li, 1]
+            prims[k_idx[tri_m], slot_idx[tri_m], 8:11] = tv[li, 2]
+            colors[k_idx[tri_m], slot_idx[tri_m]] = tc[li]
+        if sph_m.any():
+            li = local[sph_m]
+            prims[k_idx[sph_m], slot_idx[sph_m], 0:3] = geometry.sphere_centers[li]
+            prims[k_idx[sph_m], slot_idx[sph_m], 3] = geometry.sphere_radii[li]
+            colors[k_idx[sph_m], slot_idx[sph_m]] = geometry.sphere_colors[li]
+        if cyl_m.any():
+            li = local[cyl_m]
+            prims[k_idx[cyl_m], slot_idx[cyl_m], 0:3] = geometry.cyl_p1[li]
+            prims[k_idx[cyl_m], slot_idx[cyl_m], 3] = geometry.cyl_radii[li]
+            prims[k_idx[cyl_m], slot_idx[cyl_m], 4:7] = geometry.cyl_p2[li]
+            colors[k_idx[cyl_m], slot_idx[cyl_m]] = geometry.cyl_colors[li]
+
+    return prims, colors.reshape(k * c, 3), bmin, bmax
 
 
 def scene_bounds(scene: SceneBuffers) -> tuple[np.ndarray, np.ndarray]:
