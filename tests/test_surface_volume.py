@@ -1,0 +1,146 @@
+"""SES surface + density volume tests (reference: volume.test.mjs + the
+surface path that the reference leaves untested)."""
+
+import numpy as np
+import pytest
+
+from webgl_raytracer_tpu.models.density import build_nitrogen_density_volume
+from webgl_raytracer_tpu.models.molecular import parse_pdb
+from webgl_raytracer_tpu.models.surface import (
+    compute_distance_field,
+    compute_ses,
+    marching_cubes,
+    ses_to_mesh,
+)
+from webgl_raytracer_tpu.models import get_builtin_molecule
+
+
+def single_n_pdb():
+    return parse_pdb(
+        "HETATM    1  N   LIG A   1       1.000   2.000   3.000  1.00  0.00           N"
+    )
+
+
+class TestDensityVolume:
+    def test_center_voxel_near_max(self):
+        vol = build_nitrogen_density_volume(single_n_pdb(), spacing=0.5)
+        nx, ny, nz = vol.dims
+        # Voxel nearest the atom should be ~max.
+        ix = int(round((1.0 - vol.origin[0]) / 0.5))
+        iy = int(round((2.0 - vol.origin[1]) / 0.5))
+        iz = int(round((3.0 - vol.origin[2]) / 0.5))
+        assert vol.data[iz, iy, ix] >= 0.9 * vol.max_value
+        assert vol.nitrogen_count == 1
+        assert vol.max_value <= 1.0 + 1e-6
+
+    def test_caffeine_volume(self):
+        mol = get_builtin_molecule("caffeine")
+        vol = build_nitrogen_density_volume(mol, spacing=0.8)
+        assert vol.nitrogen_count == 4
+        assert vol.max_value > 1.0  # overlapping gaussians accumulate
+        assert np.isfinite(vol.data).all()
+
+    def test_no_nitrogen_raises(self):
+        mol = parse_pdb(
+            "ATOM      1  CA  ALA A   1       0.000   0.000   0.000  1.00  0.00           C"
+        )
+        with pytest.raises(ValueError, match="nitrogen"):
+            build_nitrogen_density_volume(mol)
+
+    def test_voxel_guard(self):
+        with pytest.raises(ValueError, match="too large"):
+            build_nitrogen_density_volume(single_n_pdb(), spacing=0.01)
+
+    def test_bad_options(self):
+        with pytest.raises(ValueError):
+            build_nitrogen_density_volume(single_n_pdb(), spacing=-1)
+        with pytest.raises(ValueError):
+            build_nitrogen_density_volume(single_n_pdb(), gaussian_scale=0)
+
+
+class TestDistanceField:
+    def test_field_values_single_sphere(self):
+        grid = compute_distance_field(
+            np.array([[0.0, 0, 0]]), np.array([1.0]),
+            [-1, -1, -1], [1, 1, 1], resolution=0.25, probe_radius=0.0,
+            max_dist=0.5,
+        )
+        nz, ny, nx = grid.data.shape
+        # Center voxel: distance = -1 clamped to -0.5.
+        cx = int(round((0 - grid.grid_min[0]) / 0.25))
+        cy = int(round((0 - grid.grid_min[1]) / 0.25))
+        cz = int(round((0 - grid.grid_min[2]) / 0.25))
+        assert grid.data[cz, cy, cx] == pytest.approx(-0.5)
+        # Corner voxel: far away -> +max_dist.
+        assert grid.data[0, 0, 0] == pytest.approx(0.5)
+
+
+class TestMarchingCubes:
+    def test_sphere_surface(self):
+        r = 1.0
+        grid = compute_distance_field(
+            np.array([[0.0, 0, 0]]), np.array([r]),
+            [-1, -1, -1], [1, 1, 1], resolution=0.2, probe_radius=0.0,
+            max_dist=0.4,
+        )
+        v, n, idx = marching_cubes(grid, 0.0)
+        assert v.shape[0] > 100
+        assert idx.shape[0] > 100
+        # All vertices on the sphere of radius 1 (within a voxel).
+        d = np.linalg.norm(v, axis=1)
+        assert np.abs(d - r).max() < 0.2
+        # Gradient normals point outward.
+        outward = np.sum(n * (v / d[:, None]), axis=1)
+        assert outward.mean() > 0.9
+        # Index sharing: vertex count much smaller than 3*tris.
+        assert v.shape[0] < idx.shape[0] * 1.5
+        # Closed surface: Euler characteristic of a sphere V - E + F = 2.
+        edges = set()
+        for tri in idx:
+            for a, b in ((0, 1), (1, 2), (2, 0)):
+                e = (min(tri[a], tri[b]), max(tri[a], tri[b]))
+                edges.add(e)
+        assert v.shape[0] - len(edges) + idx.shape[0] == 2
+
+    def test_empty_field(self):
+        grid = compute_distance_field(
+            np.zeros((0, 3)), np.zeros(0), [0, 0, 0], [1, 1, 1],
+            resolution=0.5, probe_radius=0.0, max_dist=1.0,
+        )
+        v, n, idx = marching_cubes(grid, 0.0)
+        assert v.shape[0] == 0 and idx.shape[0] == 0
+
+
+class TestSES:
+    def test_two_sphere_ses(self):
+        centers = np.array([[0.0, 0, 0], [2.2, 0, 0]])
+        radii = np.array([1.2, 1.2])
+        v, n, idx = compute_ses(centers, radii, probe_radius=1.0, resolution=0.35)
+        assert v.shape[0] > 50
+        assert idx.shape[0] > 50
+        assert np.isfinite(v).all() and np.isfinite(n).all()
+        # SES normals flipped -> point outward from the union.
+        center = centers.mean(axis=0)
+        rel = v - center
+        rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-9)
+        assert np.sum(n * rel, axis=1).mean() > 0.3
+        # SES hugs the atoms: all vertices within r_atom + small epsilon.
+        d0 = np.linalg.norm(v - centers[0], axis=1)
+        d1 = np.linalg.norm(v - centers[1], axis=1)
+        assert (np.minimum(d0, d1) < 1.2 + 0.75).all()
+
+    def test_sas_mode_is_inflated(self):
+        centers = np.array([[0.0, 0, 0]])
+        radii = np.array([1.0])
+        sas_v, _, _ = compute_ses(centers, radii, probe_radius=1.0,
+                                  resolution=0.3, sas=True)
+        d = np.linalg.norm(sas_v, axis=1)
+        assert abs(d.mean() - 2.0) < 0.2  # radius + probe
+
+    def test_ses_mesh_flags(self):
+        centers = np.array([[0.0, 0, 0]])
+        radii = np.array([1.0])
+        v, n, idx = compute_ses(centers, radii, probe_radius=0.8, resolution=0.4)
+        mesh = ses_to_mesh(v, n, idx)
+        assert mesh.has_surface_flags()
+        assert mesh.tri_colors.shape == (idx.shape[0], 3)
