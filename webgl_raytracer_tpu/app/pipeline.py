@@ -75,7 +75,7 @@ def load_molecule_scene(
     volume_options: dict | None = None,
     show_sheet_hbonds: bool = False,
     logger=None,
-    cluster_size: int = 64,
+    cluster_size: int = 128,
 ) -> LoadedScene:
     """Full molecular scene build (main.js loadMolecularGeometry parity):
 
@@ -172,7 +172,7 @@ def load_molecule_scene(
                        volume=volume, stats=stats)
 
 
-def load_test_primitives(cluster_size: int = 64) -> LoadedScene:
+def load_test_primitives(cluster_size: int = 128) -> LoadedScene:
     """The debug scene: 5 colored spheres + 4 bond cylinders
     (main.js:236-339)."""
     spheres = np.array([
@@ -232,7 +232,7 @@ def _hsl_to_rgb(h, s, l):  # noqa: E741
     return (hue2rgb(p, q, h + 1 / 3), hue2rgb(p, q, h), hue2rgb(p, q, h - 1 / 3))
 
 
-def load_random_spheres(count: int, cluster_size: int = 64) -> LoadedScene:
+def load_random_spheres(count: int, cluster_size: int = 128) -> LoadedScene:
     """The reference's scaling scene: `count` random spheres in a cube,
     mulberry32 seed 12345 — bit-compatible with main.js:348-460."""
     rand = mulberry32(12345)

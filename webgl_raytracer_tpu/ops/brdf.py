@@ -123,3 +123,79 @@ def spec_probability(f0, base_color, metallic):
     diff_w = (1.0 - metallic) * max_component(base_color)
     s = spec_w + diff_w
     return jnp.where(s > 0.0, spec_w / jnp.maximum(s, 1e-12), 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Component-form variants (see ops/vec3.py). Scalar GGX terms above are
+# already component-friendly; only the vector-valued pieces need twins.
+
+from . import vec3 as V  # noqa: E402
+
+
+def oren_nayar_diffuse_v3(n, v, l, base_color, sigma):
+    ndl = jnp.maximum(V.dot(n, l), 0.0)
+    ndv = jnp.maximum(V.dot(n, v), 0.0)
+    sigma2 = sigma * sigma
+    a = 1.0 - 0.5 * (sigma2 / (sigma2 + 0.33))
+    b = 0.45 * (sigma2 / (sigma2 + 0.09))
+    sin_l = jnp.sqrt(jnp.maximum(0.0, 1.0 - ndl * ndl))
+    sin_v = jnp.sqrt(jnp.maximum(0.0, 1.0 - ndv * ndv))
+    tan_l = sin_l / jnp.maximum(ndl, 1e-4)
+    tan_v = sin_v / jnp.maximum(ndv, 1e-4)
+    sin_alpha = jnp.maximum(sin_l, sin_v)
+    tan_beta = jnp.minimum(tan_l, tan_v)
+    lp = V.normalize(V.sub(l, V.scale(n, ndl)))
+    vp = V.normalize(V.sub(v, V.scale(n, ndv)))
+    cos_phi = jnp.maximum(0.0, V.dot(lp, vp))
+    oren = (a + b * cos_phi * sin_alpha * tan_beta) / PI
+    lit = (ndl > 0.0) & (ndv > 0.0)
+    w = jnp.where(lit, oren, 0.0)
+    return V.scale(base_color, w)
+
+
+def eval_diffuse_brdf_v3(n, v, l, base_color, diff_rough, wrap):
+    lam = V.scale(base_color, 1.0 / PI)
+    on = oren_nayar_diffuse_v3(n, v, l, base_color, diff_rough)
+    brdf = V.where(jnp.asarray(diff_rough > 1e-4), on, lam)
+    ndl = jnp.maximum(V.dot(n, l), 0.0)
+    scale = jnp.where(ndl > 1e-4, wrap_ndotl(ndl, wrap) / jnp.maximum(ndl, 1e-4), 0.0)
+    scale = jnp.where(jnp.asarray(wrap > 0.0), scale, 1.0)
+    return V.scale(brdf, scale)
+
+
+def fresnel_schlick_v3(cos_theta, f0):
+    """f0 is a component triple; returns a triple."""
+    w = jnp.power(jnp.clip(1.0 - cos_theta, 0.0, 1.0), 5.0)
+    return (f0[0] + (1.0 - f0[0]) * w,
+            f0[1] + (1.0 - f0[1]) * w,
+            f0[2] + (1.0 - f0[2]) * w)
+
+
+def refract_dir_v3(incident, normal, eta):
+    cosi = jnp.clip(-V.dot(incident, normal), 0.0, 1.0)
+    sin2 = eta * eta * (1.0 - cosi * cosi)
+    can = sin2 <= 1.0
+    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2))
+    k = eta * cosi - cost
+    return can, (eta * incident[0] + k * normal[0],
+                 eta * incident[1] + k * normal[1],
+                 eta * incident[2] + k * normal[2])
+
+
+def brdf_pdf_v3(n, v, l, roughness, spec_prob):
+    ndl = jnp.maximum(V.dot(n, l), 0.0)
+    diff_pdf = ndl / PI
+    h = V.normalize(V.add(v, l))
+    ndoth = jnp.maximum(V.dot(n, h), 0.001)
+    vdoth = jnp.maximum(V.dot(v, h), 0.001)
+    d = distribution_ggx(ndoth, roughness)
+    spec_pdf = d * ndoth / (4.0 * vdoth)
+    pdf = spec_prob * spec_pdf + (1.0 - spec_prob) * diff_pdf
+    return jnp.where(ndl > 0.0, pdf, 0.0)
+
+
+def spec_probability_v3(f0, base_color, metallic):
+    spec_w = V.max_component(f0)
+    diff_w = (1.0 - metallic) * V.max_component(base_color)
+    s = spec_w + diff_w
+    return jnp.where(s > 0.0, spec_w / jnp.maximum(s, 1e-12), 0.5)

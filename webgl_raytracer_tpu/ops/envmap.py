@@ -143,3 +143,87 @@ def env_pdf(env: EnvBuffers, direction):
     theta = v * PI
     sin_t = jnp.maximum(jnp.sin(theta), 1e-4)
     return jnp.maximum(pdf_uv / (2.0 * PI * PI * sin_t), 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Component-form variants (see ops/vec3.py).
+
+def dir_to_uv_v3(d):
+    u = jnp.arctan2(d[2], d[0]) / TWO_PI + 0.5
+    v = jnp.arccos(jnp.clip(d[1], -1.0, 1.0)) / PI
+    return u, v
+
+
+def sample_env_radiance_v3(env: EnvBuffers, d, intensity, max_luminance):
+    """Bilinear equirect lookup; direction and color as component triples."""
+    u, v = dir_to_uv_v3(d)
+    h, w = env.height, env.width
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    fx = jnp.clip(x - jnp.floor(x), 0.0, 1.0)
+    fy = jnp.clip(y - jnp.floor(y), 0.0, 1.0)
+
+    flat = env.radiance.reshape(-1, 3)
+    idx00 = y0 * w + x0
+    idx10 = y0 * w + x1
+    idx01 = y1 * w + x0
+    idx11 = y1 * w + x1
+
+    out = []
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+    for c in range(3):
+        ch = flat[:, c]
+        val = (ch[idx00] * w00 + ch[idx10] * w10 + ch[idx01] * w01 + ch[idx11] * w11)
+        out.append(val * intensity)
+
+    lum = out[0] * 0.2126 + out[1] * 0.7152 + out[2] * 0.0722
+    excess = lum - max_luminance
+    compressed = max_luminance + excess / (1.0 + excess / jnp.maximum(max_luminance, 1e-12))
+    scale = jnp.where((max_luminance > 0.0) & (lum > max_luminance),
+                      compressed / jnp.maximum(lum, 1e-12), 1.0)
+    return (out[0] * scale, out[1] * scale, out[2] * scale)
+
+
+def sample_env_direction_v3(env: EnvBuffers, state):
+    """Component-form importance sample: (state, dir triple, pdf)."""
+    state, r1, r2 = rand2(state)
+    h, w = env.height, env.width
+    marg = env.marginal_cdf
+    v_idx_raw, v_float = _bisect_cdf(lambda i: marg[i], h + 1, r1)
+    v_idx = jnp.clip(v_idx_raw, 0, h - 1)
+    v = (v_float + 0.5) / h
+    cond = env.conditional_cdf
+    u_idx_raw, u_float = _bisect_cdf(lambda i: cond[v_idx, i], w + 1, r2)
+    u = (u_float + 0.5) / w
+
+    theta = v * PI
+    phi = u * TWO_PI - PI
+    sin_t = jnp.sin(theta)
+    d = (sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi))
+
+    marginal_pdf = marg[v_idx + 1] - marg[v_idx]
+    u_bin = u_float.astype(jnp.int32)
+    conditional_pdf = cond[v_idx, u_bin + 1] - cond[v_idx, u_bin]
+    pdf_uv = marginal_pdf * h * conditional_pdf * w
+    pdf = pdf_uv / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-4))
+    return state, d, jnp.maximum(pdf, 1e-6)
+
+
+def env_pdf_v3(env: EnvBuffers, d):
+    u, v = dir_to_uv_v3(d)
+    w, h = env.width, env.height
+    u_idx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    v_idx = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    marginal_pdf = env.marginal_cdf[v_idx + 1] - env.marginal_cdf[v_idx]
+    conditional_pdf = env.conditional_cdf[v_idx, u_idx + 1] - env.conditional_cdf[v_idx, u_idx]
+    pdf_uv = marginal_pdf * h * conditional_pdf * w
+    theta = v * PI
+    sin_t = jnp.maximum(jnp.sin(theta), 1e-4)
+    return jnp.maximum(pdf_uv / (2.0 * PI * PI * sin_t), 1e-6)

@@ -156,3 +156,73 @@ def power_heuristic(pdf_a, pdf_b):
     a2 = pdf_a * pdf_a
     b2 = pdf_b * pdf_b
     return a2 / jnp.maximum(a2 + b2, 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Component-form (vec3-as-[B]-triples) variants — the integrator-hot path.
+# Same math as the array forms above; see ops/vec3.py for why.
+
+from . import vec3 as V  # noqa: E402
+
+
+def onb_v3(axis):
+    use_z = jnp.abs(axis[2]) < 0.999
+    upx = jnp.where(use_z, 0.0, 1.0)
+    upz = jnp.where(use_z, 1.0, 0.0)
+    up = (upx, jnp.zeros_like(upx), upz)
+    tangent = V.normalize(V.cross(up, axis))
+    bitangent = V.cross(axis, tangent)
+    return tangent, bitangent
+
+
+def to_world_v3(axis, lx, ly, lz):
+    t, b = onb_v3(axis)
+    return V.normalize((
+        t[0] * lx + b[0] * ly + axis[0] * lz,
+        t[1] * lx + b[1] * ly + axis[1] * lz,
+        t[2] * lx + b[2] * ly + axis[2] * lz,
+    ))
+
+
+def cosine_hemisphere_from_uv_v3(normal, r1, r2):
+    phi = TWO_PI * r1
+    cos_t = jnp.sqrt(1.0 - r2)
+    sin_t = jnp.sqrt(r2)
+    return to_world_v3(normal, jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t)
+
+
+def cone_from_uv_v3(axis, angle, r1, r2):
+    cos_max = jnp.cos(angle)
+    cos_t = cos_max + (1.0 - cos_max) * r1
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = TWO_PI * r2
+    d = to_world_v3(axis, jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t)
+    solid = jnp.maximum(TWO_PI * (1.0 - cos_max), 1e-6)
+    return d, 1.0 / solid
+
+
+def ggx_half_vector_from_uv_v3(normal, roughness, r1, r2):
+    a = roughness * roughness
+    a2 = a * a
+    phi = TWO_PI * r1
+    cos_t = jnp.sqrt((1.0 - r2) / (1.0 + (a2 - 1.0) * r2))
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    return to_world_v3(normal, jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t)
+
+
+def reflect_from_uv_v3(direction, normal, roughness, r1, r2):
+    r = V.reflect(direction, normal)
+    phi = TWO_PI * r1
+    cos_t = jnp.power(1.0 - r2, 1.0 / (roughness * 4.0 + 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    blurred = to_world_v3(V.normalize(r), jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t)
+    smooth = jnp.asarray(roughness <= 0.02)
+    return V.where(smooth, V.normalize(r), blurred)
+
+
+def around_direction_from_uv_v3(axis, roughness, r1, r2):
+    a = V.normalize(axis)
+    cone_angle = jnp.clip(roughness * roughness * 0.75, 0.0, 1.2)
+    d, _ = cone_from_uv_v3(a, cone_angle, r1, r2)
+    smooth = jnp.asarray(roughness <= 0.02)
+    return V.where(smooth, a, d)

@@ -45,25 +45,30 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def cluster_entry_t(bmin, bmax, origin, direction):
+def cluster_entry_t(bmin, bmax, o3, d3):
     """Entry distance of each ray into each cluster AABB, +inf on miss.
 
-    origin/direction [B,3]; bmin/bmax [K,3] -> [B,K]. Branchless slab test
-    (the |d|<1e-8 path folds into +/-inf arithmetic with an inside check).
-    """
-    o = origin[:, None, :]
-    d = direction[:, None, :]
-    parallel = jnp.abs(d) < 1e-8
-    inv = 1.0 / jnp.where(parallel, 1.0, d)
-    t1 = (bmin[None, :, :] - o) * inv
-    t2 = (bmax[None, :, :] - o) * inv
-    t_near = jnp.where(parallel, -BIG, jnp.minimum(t1, t2))
-    t_far = jnp.where(parallel, BIG, jnp.maximum(t1, t2))
-    inside = (o >= bmin[None]) & (o <= bmax[None])
-    axis_ok = ~parallel | inside
-    tn = jnp.max(t_near, axis=-1)
-    tf = jnp.min(t_far, axis=-1)
-    hit = jnp.all(axis_ok, axis=-1) & (tf >= jnp.maximum(tn, 0.0))
+    o3/d3: component triples of [B]; bmin/bmax [K,3] -> [B,K]. Branchless
+    slab test per axis in lane-aligned [B,K] form (the |d|<1e-8 path folds
+    into an inside check)."""
+    tn = jnp.full((o3[0].shape[0], bmin.shape[0]), -BIG)
+    tf = jnp.full_like(tn, BIG)
+    axis_ok = jnp.ones(tn.shape, bool)
+    for axis in range(3):
+        o = o3[axis][:, None]
+        d = d3[axis][:, None]
+        lo = bmin[None, :, axis]
+        hi = bmax[None, :, axis]
+        parallel = jnp.abs(d) < 1e-8
+        inv = 1.0 / jnp.where(parallel, 1.0, d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        near = jnp.where(parallel, -BIG, jnp.minimum(t1, t2))
+        far = jnp.where(parallel, BIG, jnp.maximum(t1, t2))
+        tn = jnp.maximum(tn, near)
+        tf = jnp.minimum(tf, far)
+        axis_ok &= ~parallel | ((o >= lo) & (o <= hi))
+    hit = axis_ok & (tf >= jnp.maximum(tn, 0.0))
     return jnp.where(hit, jnp.maximum(tn, 0.0), INF)
 
 
@@ -199,18 +204,410 @@ def intersect_block(scene, blk, origin, direction, t_min, clip, want_extra=True)
     return t, extra, ptype, plocal
 
 
-# Below this many clusters the dense sweep (no gathers at all) beats the
-# per-ray nearest-cluster gather loop: every cluster block is a single
-# VMEM-resident [C,12] constant broadcast against the whole ray batch.
-DENSE_MAX_CLUSTERS = 192
+def intersect_soa_t(scene, soa, o3, d3, t_min, clip, center=None):
+    """Lane-aligned dense intersection: t [B,C] against an SoA block.
+
+    soa is [12, C] (one cluster block shared by every ray — the dense
+    sweep) or [B, 12, C] (per-ray gathered blocks). The C axis is the TPU
+    lane axis, so each of the ~15-50 elementwise ops below runs 128-wide
+    with no sub-lane padding — this is the speed-of-light formulation; the
+    AoS [B,C,3] form wastes ~40x of the VPU on size-3 minor axes.
+
+    With a shared block the sphere quadratic's two dot products run on the
+    MXU as [B,3]x[3,C] matmuls in cluster-local coordinates (`center`
+    subtracts out to keep f32 cancellation in check).
+    """
+    shared = soa.ndim == 2
+
+    def row(i):
+        return soa[i][None, :] if shared else soa[:, i, :]
+
+    ox, oy, oz = (c[:, None] for c in o3)
+    dx, dy, dz = (c[:, None] for c in d3)
+    tmin = t_min[:, None]
+    ptype = row(11)
+    ra = row(3)
+
+    t = jnp.full((o3[0].shape[0], soa.shape[-1]), -1.0, jnp.float32)
+
+    if scene.sphere_count:
+        sx = ox - row(0)
+        sy = oy - row(1)
+        sz = oz - row(2)
+        b = sx * dx + sy * dy + sz * dz
+        cterm = sx * sx + sy * sy + sz * sz - ra * ra
+        disc = b * b - cterm
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        ts = jnp.where(t0 > tmin, t0, t1)
+        ts = jnp.where(ok & (ts > tmin), ts, -1.0)
+        t = jnp.where(ptype == PRIM_SPHERE, ts, t)
+
+    if scene.cylinder_count:
+        p1x, p1y, p1z = row(0), row(1), row(2)
+        p2x, p2y, p2z = row(4), row(5), row(6)
+        avx = p2x - p1x
+        avy = p2y - p1y
+        avz = p2z - p1z
+        h2 = avx * avx + avy * avy + avz * avz
+        height = jnp.sqrt(h2)
+        degen = height < 1e-6
+        inv_h = 1.0 / jnp.where(degen, 1.0, height)
+        ax_ = avx * inv_h
+        ay_ = avy * inv_h
+        az_ = avz * inv_h
+
+        ocx = ox - p1x
+        ocy = oy - p1y
+        ocz = oz - p1z
+        dir_dot = dx * ax_ + dy * ay_ + dz * az_
+        oc_dot = ocx * ax_ + ocy * ay_ + ocz * az_
+        dpx = dx - ax_ * dir_dot
+        dpy = dy - ay_ * dir_dot
+        dpz = dz - az_ * dir_dot
+        opx = ocx - ax_ * oc_dot
+        opy = ocy - ay_ * oc_dot
+        opz = ocz - az_ * oc_dot
+        a_q = dpx * dpx + dpy * dpy + dpz * dpz
+        b_q = 2.0 * (dpx * opx + dpy * opy + dpz * opz)
+        c_q = opx * opx + opy * opy + opz * opz - ra * ra
+        disc = b_q * b_q - 4.0 * a_q * c_q
+        okq = (a_q > 1e-8) & (disc >= 0.0)
+        sq = jnp.sqrt(jnp.where(okq, disc, 0.0))
+        den = jnp.where(okq, 2.0 * a_q, 1.0)
+        t1c = (-b_q - sq) / den
+        t2c = (-b_q + sq) / den
+        hh1 = oc_dot + t1c * dir_dot
+        hh2 = oc_dot + t2c * dir_dot
+        ok1 = okq & (t1c > tmin) & (hh1 >= 0.0) & (hh1 <= height)
+        ok2 = okq & ~ok1 & (t2c > tmin) & (hh2 >= 0.0) & (hh2 <= height)
+        tc = jnp.where(ok1, t1c, jnp.where(ok2, t2c, -1.0))
+
+        for px, py, pz, sign in ((p1x, p1y, p1z, -1.0), (p2x, p2y, p2z, 1.0)):
+            qx = ox - px
+            qy = oy - py
+            qz = oz - pz
+            bq = qx * dx + qy * dy + qz * dz
+            cq = qx * qx + qy * qy + qz * qz - ra * ra
+            dq = bq * bq - cq
+            okc = dq >= 0.0
+            sqc = jnp.sqrt(jnp.where(okc, dq, 0.0))
+            tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
+            tq = jnp.where(okc & (tq > tmin), tq, -1.0)
+            h = (qx + dx * tq) * ax_ + (qy + dy * tq) * ay_ + (qz + dz * tq) * az_
+            better = (tq > tmin) & ((tc < 0.0) | (tq < tc)) & ((h * sign) >= 0.0)
+            tc = jnp.where(better, tq, tc)
+
+        # Degenerate cylinder: plain sphere at p1.
+        qx = ox - p1x
+        qy = oy - p1y
+        qz = oz - p1z
+        bq = qx * dx + qy * dy + qz * dz
+        cq = qx * qx + qy * qy + qz * qz - ra * ra
+        dq = bq * bq - cq
+        okc = dq >= 0.0
+        sqc = jnp.sqrt(jnp.where(okc, dq, 0.0))
+        tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
+        tq = jnp.where(okc & (tq > tmin), tq, -1.0)
+        tc = jnp.where(degen, tq, tc)
+        t = jnp.where(ptype == PRIM_CYLINDER, tc, t)
+
+    if scene.tri_count:
+        v0x, v0y, v0z = row(0), row(1), row(2)
+        e1x = row(4) - v0x
+        e1y = row(5) - v0y
+        e1z = row(6) - v0z
+        e2x = row(8) - v0x
+        e2y = row(9) - v0y
+        e2z = row(10) - v0z
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        okt = jnp.abs(det) >= 1e-6
+        inv = 1.0 / jnp.where(okt, det, 1.0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        u = (tvx * px + tvy * py + tvz * pz) * inv
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        okt &= (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > tmin)
+        tt = jnp.where(okt, tt, -1.0)
+        if clip is not None:
+            normal, offset, side = clip
+            hx = ox + dx * tt
+            hy = oy + dy * tt
+            hz = oz + dz * tt
+            s = hx * normal[0] + hy * normal[1] + hz * normal[2] - offset
+            tt = jnp.where(s * side > 0.0, -1.0, tt)
+        t = jnp.where(ptype == PRIM_TRIANGLE, tt, t)
+
+    return jnp.where(ptype >= 0.0, t, -1.0)
 
 
-def _dense_trace(scene, origin, direction, t_min, clip, any_hit, accept_min,
+# Below this many clusters the dense sweep (no gathers at all) wins: with
+# few clusters, per-tile front-to-back selection saves nothing (some tile
+# overlaps everything) and its while-loop overhead loses to a straight
+# fori sweep. Measured crossover ~30 clusters at 2M rays on v5e.
+DENSE_MAX_CLUSTERS = 32
+
+# Rays per tile for the tile-wavefront tracer. Tiles share one cluster
+# work-list: per iteration each tile picks its nearest untested cluster
+# (by the min entry-t over its rays) and all its rays dense-test that one
+# block. Must divide the ray batch; callers pad.
+TILE = 256
+
+# Tile mode handles cluster counts up to this; beyond it the [B,K] entry
+# matrix gets too expensive and the per-ray gather loop takes over.
+TILE_MAX_CLUSTERS = 1024
+
+
+def _tile_trace(scene, o3, d3, t_min, clip, any_hit, accept_min, t_max,
+                active, max_iters):
+    """Tile-coherent front-to-back traversal.
+
+    Rays are grouped in TILE-sized blocks (the caller orders primary rays
+    in screen-space tiles; secondary rays inherit that locality). Each
+    while-loop iteration, every unfinished tile:
+      1. picks its nearest untested cluster (argmin over the tile's
+         min-entry distances — dense [T,K] work),
+      2. gathers that single [12,C] block (one small gather per TILE, not
+         per ray — 256x less gather traffic than a per-ray loop),
+      3. dense-intersects all TILE rays against the block,
+      4. retires the cluster; the tile finishes when its nearest remaining
+         cluster lies beyond every ray's current closest hit.
+
+    Work per tile = (clusters overlapping the tile) x TILE x C tests,
+    instead of the dense sweep's K x TILE x C — with per-tile front-to-back
+    early termination on top.
+    """
+    n = o3[0].shape[0]
+    k = scene.num_clusters
+    c = scene.cluster_size
+    n_tiles = n // TILE
+
+    entry = cluster_entry_t(scene.cluster_bmin, scene.cluster_bmax, o3, d3)
+    if active is not None:
+        entry = jnp.where(active[:, None], entry, INF)
+
+    closest0 = (
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        if t_max is not None else jnp.full((n,), BIG)
+    )
+    if active is not None:
+        # Inactive lanes get closest = -inf: they accept nothing, never
+        # update best_row, and never keep a tile's front-to-back bound open.
+        closest0 = jnp.where(active, closest0, -INF)
+    if accept_min is None:
+        accept_lo = jnp.zeros((n,), jnp.float32)
+    else:
+        accept_lo = jnp.broadcast_to(jnp.asarray(accept_min, jnp.float32), (n,))
+
+    # Per-tile K-vector of entry distances: min over the tile's rays.
+    tile_entry = jnp.min(entry.reshape(n_tiles, TILE, k), axis=1)   # [T,K]
+
+    t_min_t = t_min.reshape(n_tiles, TILE)
+    accept_t = accept_lo.reshape(n_tiles, TILE)
+    o_t = tuple(x.reshape(n_tiles, TILE) for x in o3)
+    d_t = tuple(x.reshape(n_tiles, TILE) for x in d3)
+    tiles = jnp.arange(n_tiles)
+
+    def tile_bound(closest):
+        # A cluster can still matter to the tile if it starts before the
+        # farthest unresolved ray's closest hit.
+        return jnp.max(closest.reshape(n_tiles, TILE), axis=1)
+
+    def cond(s):
+        it, tile_entry, closest, *_ = s
+        return (it < max_iters) & jnp.any(
+            jnp.min(tile_entry, axis=1) < tile_bound(closest))
+
+    def body(s):
+        it, tile_entry, closest, best_row, found = s
+        knext = jnp.argmin(tile_entry, axis=1)                       # [T]
+        tnext = tile_entry[tiles, knext]
+        work_tile = tnext < tile_bound(closest)
+
+        soa = scene.cluster_soa[jnp.where(work_tile, knext, 0)]      # [T,12,C]
+
+        def row(i):
+            return soa[:, i, :][:, None, :]                          # [T,1,C]
+
+        ox = o_t[0][:, :, None]
+        oy = o_t[1][:, :, None]
+        oz = o_t[2][:, :, None]
+        dx = d_t[0][:, :, None]
+        dy = d_t[1][:, :, None]
+        dz = d_t[2][:, :, None]
+        tmin = t_min_t[:, :, None]
+        ptype = row(11)
+        ra = row(3)
+
+        t_c = jnp.full((n_tiles, TILE, c), -1.0, jnp.float32)
+
+        if scene.sphere_count:
+            sx = ox - row(0)
+            sy = oy - row(1)
+            sz = oz - row(2)
+            b = sx * dx + sy * dy + sz * dz
+            cterm = sx * sx + sy * sy + sz * sz - ra * ra
+            disc = b * b - cterm
+            okq = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(okq, disc, 0.0))
+            t0 = -b - sq
+            t1 = -b + sq
+            ts = jnp.where(t0 > tmin, t0, t1)
+            ts = jnp.where(okq & (ts > tmin), ts, -1.0)
+            t_c = jnp.where(ptype == PRIM_SPHERE, ts, t_c)
+
+        if scene.cylinder_count:
+            p1x, p1y, p1z = row(0), row(1), row(2)
+            p2x, p2y, p2z = row(4), row(5), row(6)
+            avx = p2x - p1x
+            avy = p2y - p1y
+            avz = p2z - p1z
+            height = jnp.sqrt(avx * avx + avy * avy + avz * avz)
+            degen = height < 1e-6
+            inv_h = 1.0 / jnp.where(degen, 1.0, height)
+            ax_, ay_, az_ = avx * inv_h, avy * inv_h, avz * inv_h
+            ocx = ox - p1x
+            ocy = oy - p1y
+            ocz = oz - p1z
+            dir_dot = dx * ax_ + dy * ay_ + dz * az_
+            oc_dot = ocx * ax_ + ocy * ay_ + ocz * az_
+            dpx = dx - ax_ * dir_dot
+            dpy = dy - ay_ * dir_dot
+            dpz = dz - az_ * dir_dot
+            opx = ocx - ax_ * oc_dot
+            opy = ocy - ay_ * oc_dot
+            opz = ocz - az_ * oc_dot
+            a_q = dpx * dpx + dpy * dpy + dpz * dpz
+            b_q = 2.0 * (dpx * opx + dpy * opy + dpz * opz)
+            c_q = opx * opx + opy * opy + opz * opz - ra * ra
+            disc = b_q * b_q - 4.0 * a_q * c_q
+            okq = (a_q > 1e-8) & (disc >= 0.0)
+            sq = jnp.sqrt(jnp.where(okq, disc, 0.0))
+            den = jnp.where(okq, 2.0 * a_q, 1.0)
+            t1c = (-b_q - sq) / den
+            t2c = (-b_q + sq) / den
+            hh1 = oc_dot + t1c * dir_dot
+            hh2 = oc_dot + t2c * dir_dot
+            ok1 = okq & (t1c > tmin) & (hh1 >= 0.0) & (hh1 <= height)
+            ok2 = okq & ~ok1 & (t2c > tmin) & (hh2 >= 0.0) & (hh2 <= height)
+            tc = jnp.where(ok1, t1c, jnp.where(ok2, t2c, -1.0))
+            for px, py, pz, sign in ((p1x, p1y, p1z, -1.0), (p2x, p2y, p2z, 1.0)):
+                qx = ox - px
+                qy = oy - py
+                qz = oz - pz
+                bq = qx * dx + qy * dy + qz * dz
+                cq = qx * qx + qy * qy + qz * qz - ra * ra
+                dq = bq * bq - cq
+                okc = dq >= 0.0
+                sqc = jnp.sqrt(jnp.where(okc, dq, 0.0))
+                tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
+                tq = jnp.where(okc & (tq > tmin), tq, -1.0)
+                h = (qx + dx * tq) * ax_ + (qy + dy * tq) * ay_ + (qz + dz * tq) * az_
+                better = (tq > tmin) & ((tc < 0.0) | (tq < tc)) & ((h * sign) >= 0.0)
+                tc = jnp.where(better, tq, tc)
+            qx = ox - p1x
+            qy = oy - p1y
+            qz = oz - p1z
+            bq = qx * dx + qy * dy + qz * dz
+            cq = qx * qx + qy * qy + qz * qz - ra * ra
+            dq = bq * bq - cq
+            okc = dq >= 0.0
+            sqc = jnp.sqrt(jnp.where(okc, dq, 0.0))
+            tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
+            tq = jnp.where(okc & (tq > tmin), tq, -1.0)
+            tc = jnp.where(degen, tq, tc)
+            t_c = jnp.where(ptype == PRIM_CYLINDER, tc, t_c)
+
+        if scene.tri_count:
+            v0x, v0y, v0z = row(0), row(1), row(2)
+            e1x = row(4) - v0x
+            e1y = row(5) - v0y
+            e1z = row(6) - v0z
+            e2x = row(8) - v0x
+            e2y = row(9) - v0y
+            e2z = row(10) - v0z
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            okt = jnp.abs(det) >= 1e-6
+            inv = 1.0 / jnp.where(okt, det, 1.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            okt &= (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > tmin)
+            tt = jnp.where(okt, tt, -1.0)
+            if clip is not None:
+                normal, offset, side = clip
+                hx = ox + dx * tt
+                hy = oy + dy * tt
+                hz = oz + dz * tt
+                sdist = hx * normal[0] + hy * normal[1] + hz * normal[2] - offset
+                tt = jnp.where(sdist * side > 0.0, -1.0, tt)
+            t_c = jnp.where(ptype == PRIM_TRIANGLE, tt, t_c)
+
+        t_c = jnp.where(ptype >= 0.0, t_c, -1.0)
+
+        closest_t = closest.reshape(n_tiles, TILE)
+        if any_hit:
+            valid = (t_c > accept_t[:, :, None]) & (t_c < closest_t[:, :, None])
+            valid &= work_tile[:, None, None]
+            hit_now = jnp.any(valid, axis=2).reshape(-1)
+            found = found | hit_now
+            closest = jnp.where(found, -INF, closest)
+        else:
+            valid = (t_c > 0.0) & (t_c < closest_t[:, :, None])
+            valid &= work_tile[:, None, None]
+            t_masked = jnp.where(valid, t_c, INF)
+            j = jnp.argmin(t_masked, axis=2)
+            t_best = jnp.min(t_masked, axis=2)
+            upd = (t_best < closest_t).reshape(-1)
+            row_id = (jnp.where(work_tile, knext, 0)[:, None] * c + j).reshape(-1)
+            closest = jnp.where(upd, t_best.reshape(-1), closest)
+            best_row = jnp.where(upd, row_id, best_row)
+
+        tile_entry = tile_entry.at[tiles, knext].set(INF)
+        return it + 1, tile_entry, closest, best_row, found
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        tile_entry,
+        closest0,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), bool),
+    )
+    _, _, closest, best_row, found = jax.lax.while_loop(cond, body, init)
+
+    if any_hit:
+        if active is not None:
+            found = found & active
+        return found
+    return _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row,
+                         cost=jnp.zeros((n,), jnp.int32))
+
+
+def _dense_trace(scene, o3, d3, t_min, clip, any_hit, accept_min,
                  t_max, active):
     """Gather-free brute sweep: fori over cluster blocks, each block
     dense-intersected against every ray. Optimal when K is small — all
     irregularity disappears and XLA sees pure streaming VPU work."""
-    n = origin.shape[0]
+    n = o3[0].shape[0]
     k = scene.num_clusters
 
     closest0 = (
@@ -223,18 +620,10 @@ def _dense_trace(scene, origin, direction, t_min, clip, any_hit, accept_min,
         accept_lo = jnp.broadcast_to(jnp.asarray(accept_min, jnp.float32), (n,))
     act = jnp.ones((n,), bool) if active is None else jnp.asarray(active)
 
-    clip_b = None
-    if clip is not None:
-        normal, offset, side = clip
-        clip_b = (jnp.broadcast_to(normal, (n, 3)), offset, side)
-
     def body(kk, carry):
         closest, best_row, found = carry
-        blk = jax.lax.dynamic_index_in_dim(scene.cluster_prims, kk, 0, keepdims=False)
-        blk = jnp.broadcast_to(blk[None], (n,) + blk.shape)
-        t_c, _, _, _ = intersect_block(
-            scene, blk, origin, direction, t_min, clip_b, want_extra=False
-        )
+        soa = jax.lax.dynamic_index_in_dim(scene.cluster_soa, kk, 0, keepdims=False)
+        t_c = intersect_soa_t(scene, soa, o3, d3, t_min, clip)
         if any_hit:
             valid = (t_c > accept_lo[:, None]) & (t_c < closest[:, None]) & act[:, None]
             found = found | jnp.any(valid, axis=1)
@@ -252,39 +641,86 @@ def _dense_trace(scene, origin, direction, t_min, clip, any_hit, accept_min,
     closest, best_row, found = jax.lax.fori_loop(0, k, body, init)
     if any_hit:
         return found
-    return _finalize_hit(scene, origin, direction, t_min, clip_b, closest, best_row,
+    return _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row,
                          cost=jnp.full((n,), k * scene.cluster_size, jnp.int32))
 
 
-def _finalize_hit(scene, origin, direction, t_min, clip_b, closest, best_row, cost):
-    """Re-intersect only the winning primitive per ray to recover hit extras
-    (barycentrics / cylinder cap type). One row gather + one intersection —
-    keeps the hot loop free of [B,C,*] attribute selection."""
-    n = origin.shape[0]
+def _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row, cost):
+    """Recover hit attributes for the winning primitive per ray: one [B,12]
+    row gather + component-form ([B]-shaped) re-derivation of barycentrics /
+    cylinder cap type — keeps the hot loop free of [B,C,*] attribute
+    selection and avoids padded small-minor-axis ops here too."""
     flat = scene.cluster_prims.reshape(-1, 12)
     row = flat[jnp.maximum(best_row, 0)]
-    t_c, extra_c, type_c, local_c = intersect_block(
-        scene, row[:, None, :], origin, direction, t_min, clip_b
-    )
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    ptype = row[:, 11].astype(jnp.int32)
+    plocal = row[:, 7].astype(jnp.int32)
+
+    e0 = jnp.zeros_like(closest)
+    e1 = jnp.zeros_like(closest)
+
+    if scene.cylinder_count:
+        # hit_type from the winning t: cap when the hit height falls outside
+        # the finite body (webgl.js:527-541 classification logic).
+        p1x, p1y, p1z = row[:, 0], row[:, 1], row[:, 2]
+        p2x, p2y, p2z = row[:, 4], row[:, 5], row[:, 6]
+        avx, avy, avz = p2x - p1x, p2y - p1y, p2z - p1z
+        height = jnp.sqrt(avx * avx + avy * avy + avz * avz)
+        degen = height < 1e-6
+        inv_h = 1.0 / jnp.where(degen, 1.0, height)
+        ax_, ay_, az_ = avx * inv_h, avy * inv_h, avz * inv_h
+        hx = ox + dx * closest - p1x
+        hy = oy + dy * closest - p1y
+        hz = oz + dz * closest - p1z
+        h = hx * ax_ + hy * ay_ + hz * az_
+        htype = jnp.where(h < 0.0, 1.0, jnp.where(h > height, 2.0, 0.0))
+        htype = jnp.where(degen, 0.0, htype)
+        e0 = jnp.where(ptype == PRIM_CYLINDER, htype, e0)
+
+    if scene.tri_count:
+        v0x, v0y, v0z = row[:, 0], row[:, 1], row[:, 2]
+        e1x, e1y, e1z = row[:, 4] - v0x, row[:, 5] - v0y, row[:, 6] - v0z
+        e2x, e2y, e2z = row[:, 8] - v0x, row[:, 9] - v0y, row[:, 10] - v0z
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(jnp.abs(det) >= 1e-6, det, 1.0)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        uu = (tvx * px + tvy * py + tvz * pz) * inv
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        vv = (dx * qx + dy * qy + dz * qz) * inv
+        is_tri = ptype == PRIM_TRIANGLE
+        e0 = jnp.where(is_tri, uu, e0)
+        e1 = jnp.where(is_tri, vv, e1)
+
     hit = best_row >= 0
+    extra = jnp.stack([
+        jnp.where(hit, e0, 0.0),
+        jnp.where(hit, e1, 0.0),
+        jnp.zeros_like(e0),
+    ], axis=-1)
     return HitRecord(
         t=jnp.where(hit, closest, BIG),
-        prim_type=jnp.where(hit, type_c[:, 0], -1),
-        prim_local=jnp.where(hit, local_c[:, 0], -1),
+        prim_type=jnp.where(hit, ptype, -1),
+        prim_local=jnp.where(hit, plocal, -1),
         prim_slot=best_row,
-        extra=jnp.where(hit[:, None], extra_c[:, 0], 0.0),
+        extra=extra,
         cost=cost,
     )
 
 
-def _wf_trace_flat(scene, origin, direction, t_min, clip, any_hit, accept_min,
+def _wf_trace_flat(scene, o3, d3, t_min, clip, any_hit, accept_min,
                    t_max, active, max_iters):
-    n = origin.shape[0]
+    n = o3[0].shape[0]
     k = scene.num_clusters
     c = scene.cluster_size
     rows = jnp.arange(n)
 
-    entry = cluster_entry_t(scene.cluster_bmin, scene.cluster_bmax, origin, direction)
+    entry = cluster_entry_t(scene.cluster_bmin, scene.cluster_bmax, o3, d3)
     if active is not None:
         entry = jnp.where(active[:, None], entry, INF)
 
@@ -297,11 +733,6 @@ def _wf_trace_flat(scene, origin, direction, t_min, clip, any_hit, accept_min,
     else:
         accept_lo = jnp.broadcast_to(jnp.asarray(accept_min, jnp.float32), (n,))
 
-    clip_b = None
-    if clip is not None:
-        normal, offset, side = clip
-        clip_b = (jnp.broadcast_to(normal, (n, 3)), offset, side)
-
     def cond(s):
         it, entry, closest, *_ = s
         return (it < max_iters) & jnp.any(jnp.min(entry, axis=1) < closest)
@@ -312,10 +743,8 @@ def _wf_trace_flat(scene, origin, direction, t_min, clip, any_hit, accept_min,
         tnext = entry[rows, knext]
         work = tnext < closest
 
-        blk = scene.cluster_prims[jnp.where(work, knext, 0)]
-        t_c, _, _, _ = intersect_block(
-            scene, blk, origin, direction, t_min, clip_b, want_extra=False
-        )
+        soa = scene.cluster_soa[jnp.where(work, knext, 0)]
+        t_c = intersect_soa_t(scene, soa, o3, d3, t_min, clip)
         valid = (t_c > 0.0) & (t_c < closest[:, None]) & work[:, None]
         if any_hit:
             valid &= t_c > accept_lo[:, None]
@@ -344,31 +773,64 @@ def _wf_trace_flat(scene, origin, direction, t_min, clip, any_hit, accept_min,
 
     if any_hit:
         return found
-    return _finalize_hit(scene, origin, direction, t_min, clip_b, closest,
+    return _finalize_hit(scene, o3, d3, t_min, clip, closest,
                          best_row, cost=cost)
 
 
-def wf_trace_closest(scene, origin, direction, t_min, clip=None, active=None,
-                     max_iters: int = 256) -> HitRecord:
-    """Closest hit via the cluster wavefront. prim_slot indexes the padded
-    cluster table (scene.cluster_prims reshaped to [K*C, 12])."""
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), origin.shape[:-1])
-    if scene.num_clusters <= DENSE_MAX_CLUSTERS:
-        return _dense_trace(scene, origin, direction, t_min, clip,
-                            any_hit=False, accept_min=None, t_max=None,
-                            active=active)
-    return _wf_trace_flat(scene, origin, direction, t_min, clip,
+def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
+                        max_iters: int = 4096) -> HitRecord:
+    """Closest hit via the cluster wavefront; rays as component triples.
+    prim_slot indexes the padded cluster table ([K*C, 12])."""
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
+    n = o3[0].shape[0]
+    k = scene.num_clusters
+    if k <= DENSE_MAX_CLUSTERS or n % TILE != 0 or n < TILE:
+        if k <= TILE_MAX_CLUSTERS:
+            return _dense_trace(scene, o3, d3, t_min, clip,
+                                any_hit=False, accept_min=None, t_max=None,
+                                active=active)
+    elif k <= TILE_MAX_CLUSTERS:
+        return _tile_trace(scene, o3, d3, t_min, clip,
+                           any_hit=False, accept_min=None, t_max=None,
+                           active=active, max_iters=min(max_iters, k))
+    return _wf_trace_flat(scene, o3, d3, t_min, clip,
                           any_hit=False, accept_min=None, t_max=None,
                           active=active, max_iters=max_iters)
 
 
-def wf_trace_any(scene, origin, direction, t_min, t_max=BIG, accept_min=None,
-                 clip=None, active=None, max_iters: int = 256):
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), origin.shape[:-1])
-    if scene.num_clusters <= DENSE_MAX_CLUSTERS:
-        return _dense_trace(scene, origin, direction, t_min, clip,
-                            any_hit=True, accept_min=accept_min, t_max=t_max,
-                            active=active)
-    return _wf_trace_flat(scene, origin, direction, t_min, clip,
+def wf_trace_any_v3(scene, o3, d3, t_min, t_max=BIG, accept_min=None,
+                    clip=None, active=None, max_iters: int = 4096):
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
+    n = o3[0].shape[0]
+    k = scene.num_clusters
+    if k <= DENSE_MAX_CLUSTERS or n % TILE != 0 or n < TILE:
+        if k <= TILE_MAX_CLUSTERS:
+            return _dense_trace(scene, o3, d3, t_min, clip,
+                                any_hit=True, accept_min=accept_min, t_max=t_max,
+                                active=active)
+    elif k <= TILE_MAX_CLUSTERS:
+        return _tile_trace(scene, o3, d3, t_min, clip,
+                           any_hit=True, accept_min=accept_min, t_max=t_max,
+                           active=active, max_iters=min(max_iters, k))
+    return _wf_trace_flat(scene, o3, d3, t_min, clip,
                           any_hit=True, accept_min=accept_min, t_max=t_max,
                           active=active, max_iters=max_iters)
+
+
+def _split(a):
+    return (a[..., 0], a[..., 1], a[..., 2])
+
+
+def wf_trace_closest(scene, origin, direction, t_min, clip=None, active=None,
+                     max_iters: int = 256) -> HitRecord:
+    """Array-API wrapper over wf_trace_closest_v3 ([B,3] rays)."""
+    return wf_trace_closest_v3(scene, _split(origin), _split(direction), t_min,
+                               clip=clip, active=active, max_iters=max_iters)
+
+
+def wf_trace_any(scene, origin, direction, t_min, t_max=BIG, accept_min=None,
+                 clip=None, active=None, max_iters: int = 256):
+    """Array-API wrapper over wf_trace_any_v3 ([B,3] rays)."""
+    return wf_trace_any_v3(scene, _split(origin), _split(direction), t_min,
+                           t_max=t_max, accept_min=accept_min, clip=clip,
+                           active=active, max_iters=max_iters)

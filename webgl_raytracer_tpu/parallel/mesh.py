@@ -85,6 +85,8 @@ def _render_spp_sharded(scene, env, vol, flags, uniforms, px, py, frame_index,
     spp_per = max(1, flags.spp // n_dev)
 
     def shard_body(px_l, py_l):
+        from ..ops import vec3 as V
+
         idx = jax.lax.axis_index(axis_name)
         total = jnp.zeros(px_l.shape + (3,), jnp.float32)
         for s in range(spp_per):
@@ -94,7 +96,7 @@ def _render_spp_sharded(scene, env, vol, flags, uniforms, px, py, frame_index,
             )
             radiance, _ = trace_paths(scene, env, vol, flags, uniforms,
                                       origin, direction, seed)
-            total = total + radiance
+            total = total + V.to_array(radiance)
         total = jax.lax.psum(total, axis_name)
         return total / (spp_per * n_dev) * uniforms.exposure
 

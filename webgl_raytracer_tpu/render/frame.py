@@ -80,12 +80,27 @@ class Renderer:
         self.camera.width, self.camera.height = self.width, self.height
 
     def _pixel_grids(self):
+        """Flat pixel index arrays in 16x16 screen-tile order.
+
+        Tile order makes each consecutive block of 256 rays screen-
+        coherent, which is what the tile-wavefront tracer exploits
+        (ops/wavefront.py TILE). `_unperm` maps ray order back to row-major
+        image order at readout."""
         if self._px is None:
-            xs = np.tile(np.arange(self.width, dtype=np.uint32), self.height)
+            w, h = self.width, self.height
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            tile_y = yy // 16
+            tile_x = xx // 16
+            order = np.lexsort((xx.ravel(), yy.ravel() % 16,
+                                tile_x.ravel(), tile_y.ravel()))
+            xs = xx.ravel()[order].astype(np.uint32)
+            ys_img = yy.ravel()[order]
+            inverse = np.empty(w * h, np.int64)
+            inverse[order] = np.arange(w * h)
+            self._unperm = jnp.asarray(inverse)
             # gl_FragCoord convention: y = 0 is the bottom row.
-            ys = np.repeat(np.arange(self.height, dtype=np.uint32)[::-1], self.width)
             self._px = jnp.asarray(xs)
-            self._py = jnp.asarray(ys)
+            self._py = jnp.asarray((h - 1 - ys_img).astype(np.uint32))
         return self._px, self._py
 
     def active_clip_plane(self, basis):
@@ -156,8 +171,8 @@ class Renderer:
         """Linear accumulated radiance f32[H,W,3] (top row first)."""
         if self._accum is None:
             return np.zeros((self.height, self.width, 3), np.float32)
-        img = np.asarray(self._accum).reshape(self.height, self.width, 3)
-        return img
+        flat = self._accum[self._unperm]  # ray order -> row-major image order
+        return np.asarray(flat).reshape(self.height, self.width, 3)
 
     def image(self) -> np.ndarray:
         """Tone-mapped display image f32[H,W,3] in [0,1]."""

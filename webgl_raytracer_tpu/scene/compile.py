@@ -78,6 +78,9 @@ class SceneBuffers:
     # are SAH leaves of up to cluster_size prims, padded with type=-1 rows.
     # cluster_prims row: [a.xyz, radius | b.xyz, local | c.xyz, type].
     cluster_prims: np.ndarray = None    # f32[K,C,12]
+    # SoA transpose [K,12,C]: the C axis is the TPU lane axis, so the dense
+    # intersection sweep runs 128-wide with no sub-lane padding waste.
+    cluster_soa: np.ndarray = None      # f32[K,12,C]
     cluster_color: np.ndarray = None    # f32[K*C,3]
     cluster_bmin: np.ndarray = None     # f32[K,3]
     cluster_bmax: np.ndarray = None     # f32[K,3]
@@ -89,7 +92,7 @@ class SceneBuffers:
     prim_count: int = field(metadata=dict(static=True), default=0)
     max_depth: int = field(metadata=dict(static=True), default=32)
     num_clusters: int = field(metadata=dict(static=True), default=1)
-    cluster_size: int = field(metadata=dict(static=True), default=64)
+    cluster_size: int = field(metadata=dict(static=True), default=128)
 
     def device_put(self, device=None) -> "SceneBuffers":
         import jax.numpy as jnp
@@ -115,7 +118,7 @@ def compile_scene(
     tri_flags: np.ndarray | None = None,
     max_leaf_size: int = 4,
     max_depth: int = 32,
-    cluster_size: int = 64,
+    cluster_size: int = 128,
     bvh: BVH | None = None,
 ) -> SceneBuffers:
     """Compile spheres/cylinders (from Geometry) + an optional triangle mesh
@@ -208,6 +211,7 @@ def compile_scene(
 
     return SceneBuffers(
         cluster_prims=cl[0],
+        cluster_soa=np.ascontiguousarray(cl[0].transpose(0, 2, 1)),
         cluster_color=cl[1],
         cluster_bmin=cl[2],
         cluster_bmax=cl[3],
