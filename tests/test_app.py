@@ -1,0 +1,211 @@
+"""App-layer tests: pipeline, picking, overlay, fly camera, clip lock,
+checkpoint/resume, server state, formatting, logger."""
+
+import json
+import numpy as np
+import pytest
+
+from webgl_raytracer_tpu.app.pipeline import (
+    get_display_options,
+    load_molecule_scene,
+    load_random_spheres,
+    load_test_primitives,
+    mulberry32,
+)
+from webgl_raytracer_tpu.models import get_builtin_molecule
+from webgl_raytracer_tpu.render import Renderer
+from webgl_raytracer_tpu.render.picking import autofocus_at_pixel, hover_at_pixel, pick_at_pixel
+from webgl_raytracer_tpu.scene.overlay import (
+    compute_primitive_world_bounds,
+    project_aabb_to_canvas_rect,
+)
+from webgl_raytracer_tpu.scene.camera import OrbitCamera, camera_basis
+from webgl_raytracer_tpu.utils import create_logger, format_poly_count
+
+
+class TestPipeline:
+    def test_display_option_table(self):
+        assert get_display_options("vdw")["radius_scale"] == 1.0
+        assert get_display_options("vdw")["show_bonds"] is False
+        assert get_display_options("stick")["radius_scale"] == 0.15
+        assert get_display_options("cartoon")["bond_radius"] == 0.0
+        assert get_display_options("ball-and-stick", atom_scale=0.4)["radius_scale"] == 0.4
+
+    def test_test_primitives_scene(self):
+        loaded = load_test_primitives()
+        assert loaded.stats["spheres"] == 5
+        assert loaded.stats["cylinders"] == 4
+        assert loaded.scene.prim_count == 9
+
+    def test_mulberry32_reference_stream(self):
+        # Deterministic seeded stream; first draws are stable and in [0,1).
+        rand = mulberry32(12345)
+        vals = [rand() for _ in range(4)]
+        assert all(0.0 <= v < 1.0 for v in vals)
+        rand2 = mulberry32(12345)
+        assert [rand2() for _ in range(4)] == vals
+
+    def test_random_spheres_deterministic(self):
+        a = load_random_spheres(50)
+        b = load_random_spheres(50)
+        np.testing.assert_array_equal(a.geometry.sphere_centers, b.geometry.sphere_centers)
+        assert a.geometry.sphere_radii.min() >= 0.15
+        assert a.geometry.sphere_radii.max() <= 0.4
+
+    def test_vdw_style_molecule(self):
+        mol = get_builtin_molecule("benzene")
+        loaded = load_molecule_scene(mol, display_style="vdw")
+        assert loaded.stats["cylinders"] == 0
+        assert loaded.stats["spheres"] == 12
+
+
+class TestPicking:
+    def test_pick_and_hover(self):
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=100, height=100)
+        hit = pick_at_pixel(r, 50, 50)
+        assert hit is not None and hit.prim_type == 1  # central sphere
+        hover = hover_at_pixel(r, 50, 50)
+        assert hover is not None
+        assert "sphere" in hover.label
+        assert hover.rect is not None and hover.rect["width"] > 1
+
+    def test_autofocus(self):
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=100, height=100)
+        r.frame_index = 5
+        focus = autofocus_at_pixel(r, 50, 50)
+        assert focus is not None and focus > 0
+        assert r.settings.dof_focus_distance == focus
+        assert r.frame_index == 0  # accumulation reset
+
+    def test_miss_returns_none(self):
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=100, height=100)
+        assert pick_at_pixel(r, 2, 2) is None
+
+
+class TestOverlay:
+    def test_projected_rect_reference_case(self):
+        # Mirrors overlay_bbox.test.mjs: unit box at z=4 from origin camera.
+        class Basis:
+            origin = np.zeros(3)
+            forward = np.array([0.0, 0.0, 1.0])
+            right = np.array([1.0, 0.0, 0.0])
+            up = np.array([0.0, 1.0, 0.0])
+
+        rect = project_aabb_to_canvas_rect([-1, -1, 3], [1, 1, 5], Basis, 200, 100)
+        assert rect is not None
+        # Near face corners at z=3: ndc +-1/3 -> x in [66.7, 133.3].
+        assert rect["min_x"] == pytest.approx(200 * (0.5 - 1 / 6), abs=0.1)
+        assert rect["max_x"] == pytest.approx(200 * (0.5 + 1 / 6), abs=0.1)
+
+    def test_behind_camera_none(self):
+        class Basis:
+            origin = np.zeros(3)
+            forward = np.array([0.0, 0.0, 1.0])
+            right = np.array([1.0, 0.0, 0.0])
+            up = np.array([0.0, 1.0, 0.0])
+
+        assert project_aabb_to_canvas_rect([-1, -1, -5], [1, 1, -3], Basis, 200, 100) is None
+
+    def test_primitive_bounds(self):
+        loaded = load_test_primitives()
+        lo, hi = compute_primitive_world_bounds(loaded.scene, 1, 0)
+        np.testing.assert_allclose(lo, [-0.5, -0.5, -0.5])
+        np.testing.assert_allclose(hi, [0.5, 0.5, 0.5])
+
+
+class TestCameraFly:
+    def test_fly_moves_target(self):
+        cam = OrbitCamera(width=100, height=100, distance=10.0)
+        t0 = np.asarray(cam.target).copy()
+        assert cam.fly({"w"}, 0.1)
+        assert np.linalg.norm(np.asarray(cam.target) - t0) == pytest.approx(0.6, rel=1e-6)
+        assert cam.fly({"q"}, 0.1)
+        assert cam.target[1] > 0
+        assert not cam.fly({"x"}, 0.1)
+
+
+class TestClipLock:
+    def test_lock_freezes_plane(self):
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=64, height=64)
+        r.settings.clip_enabled = True
+        r.settings.clip_distance = 2.0
+        plane_before = r.active_clip_plane(r.camera.basis())
+        r.lock_clip_plane()
+        r.camera.drag(200, 100)  # move the camera
+        plane_locked = r.active_clip_plane(r.camera.basis())
+        np.testing.assert_allclose(plane_locked[0], plane_before[0], atol=1e-6)
+        assert plane_locked[1] == pytest.approx(plane_before[1])
+        r.unlock_clip_plane()
+        plane_after = r.active_clip_plane(r.camera.basis())
+        assert not np.allclose(plane_after[0], plane_before[0], atol=1e-3)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        r.settings.tone_map = "linear"
+        r.render_frame()
+        r.render_frame()
+        path = str(tmp_path / "ckpt.npz")
+        r.save_checkpoint(path)
+
+        r2 = Renderer(loaded.scene, width=16, height=16)
+        r2.settings.tone_map = "linear"
+        r2.load_checkpoint(path)
+        assert r2.frame_index == 2
+        np.testing.assert_allclose(r2.accumulated(), r.accumulated(), atol=1e-7)
+        # Continues accumulating.
+        assert r2.render_frame()
+        assert r2.frame_index == 3
+
+    def test_resolution_mismatch_raises(self, tmp_path):
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        r.render_frame()
+        path = str(tmp_path / "ckpt.npz")
+        r.save_checkpoint(path)
+        r2 = Renderer(loaded.scene, width=32, height=32)
+        with pytest.raises(ValueError, match="resolution"):
+            r2.load_checkpoint(path)
+
+
+class TestServer:
+    def test_viewer_state_endpoints(self):
+        from webgl_raytracer_tpu.app.server import ViewerState
+
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        state = ViewerState(r)
+        png = state.frame_png()
+        assert png[:4] == b"\x89PNG"
+        st = state.state()
+        assert st["frame_index"] == 1
+        state.orbit(10, 5)
+        assert state.state()["frame_index"] == 0
+        state.update_settings({"vis_mode": 2})
+        assert r.settings.vis_mode == 2
+
+
+class TestUtils:
+    def test_format_poly_count(self):
+        assert format_poly_count(999) == "999"
+        assert format_poly_count(1500) == "1.5K"
+        assert format_poly_count(1_000_000) == "1M"
+        assert format_poly_count(2_340_000) == "2.3M"
+        assert format_poly_count(float("nan")) == "0"
+
+    def test_ring_logger(self):
+        log = create_logger(max_lines=3, echo=False)
+        for i in range(5):
+            log.info(f"line {i}")
+        log.warn("careful")
+        log.error("bad")
+        lines = log.text().split("\n")
+        assert len(lines) == 3
+        assert "ERROR: bad" in lines[-1]
+        assert "WARN: careful" in lines[-2]

@@ -170,6 +170,11 @@ def cmd_render(args) -> int:
         f"{loaded.stats.get('bvh_nodes', 0)} BVH nodes"
     )
     r = _make_renderer(args, loaded, logger)
+    if getattr(args, "resume", None):
+        r.load_checkpoint(args.resume)
+        logger.info(f"Resumed from {args.resume} at frame {r.frame_index}")
+        r.settings.max_frames = max(r.settings.max_frames,
+                                    r.frame_index + args.frames)
     t0 = time.perf_counter()
     frames = 0
     while frames < args.frames and r.render_frame():
@@ -177,6 +182,9 @@ def cmd_render(args) -> int:
     dt = time.perf_counter() - t0
     logger.info(f"Rendered {frames} progressive frames in {dt:.2f}s "
                 f"({dt / max(1, frames) * 1000:.0f} ms/frame)")
+    if getattr(args, "save_checkpoint", None):
+        r.save_checkpoint(args.save_checkpoint)
+        logger.info(f"Checkpoint saved to {args.save_checkpoint}")
     img = r.image_u8()
     if args.out:
         save_png(args.out, img)
@@ -237,6 +245,16 @@ def cmd_pick(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    logger = create_logger()
+    loaded, _ = _load_scene(args, logger)
+    r = _make_renderer(args, loaded, logger)
+    from .server import serve
+
+    serve(r, host=args.host, port=args.port, logger=logger)
+    return 0
+
+
 def cmd_info(args) -> int:
     logger = create_logger(echo=False)
     loaded, mol = _load_scene(args, logger)
@@ -259,7 +277,16 @@ def main(argv=None) -> int:
     _add_scene_args(p_render)
     _add_render_args(p_render)
     p_render.add_argument("--out", help="output PNG path")
+    p_render.add_argument("--save-checkpoint", help="write accumulation state (.npz)")
+    p_render.add_argument("--resume", help="resume accumulation from a checkpoint")
     p_render.set_defaults(func=cmd_render)
+
+    p_serve = sub.add_parser("serve", help="interactive web viewer (HTTP)")
+    _add_scene_args(p_serve)
+    _add_render_args(p_serve)
+    p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.set_defaults(func=cmd_serve)
 
     p_bench = sub.add_parser("bench", help="time steady-state frames")
     _add_scene_args(p_bench)

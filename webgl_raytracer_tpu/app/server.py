@@ -1,0 +1,240 @@
+"""Interactive web viewer: the serving layer (reference server.py + the
+browser render loop, in one headless process).
+
+Endpoints:
+  GET  /            minimal viewer page (drag to orbit, WASDQE to fly,
+                    number keys for vis modes)
+  GET  /frame.png   advances one progressive frame if below max_frames and
+                    returns the current tone-mapped image
+  GET  /state       render/camera state as JSON
+  POST /orbit       {"dx": px, "dy": px} orbit drag (resets accumulation)
+  POST /fly         {"keys": ["w",...], "dt": seconds}
+  POST /settings    partial RenderSettings update (resets accumulation)
+
+Implemented on the stdlib HTTP server so it runs with zero extra
+dependencies; `asgi_app(renderer)` wraps the same handlers for uvicorn
+(parity with the reference's ASGI server, server.py:1-72).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+VIEWER_HTML = """<!DOCTYPE html>
+<html><head><title>webgl_raytracer_tpu viewer</title>
+<style>
+ body { background:#111; color:#ddd; font-family:monospace; margin:16px; }
+ #frame { border:1px solid #444; cursor:grab; image-rendering:pixelated; }
+ #status { margin-top:8px; white-space:pre; }
+</style></head>
+<body>
+<h3>webgl_raytracer_tpu</h3>
+<img id="frame" src="/frame.png" draggable="false">
+<div id="status"></div>
+<script>
+const img = document.getElementById('frame');
+const status = document.getElementById('status');
+let dragging = false, lastX = 0, lastY = 0, busy = false;
+async function refresh() {
+  if (busy) return;
+  busy = true;
+  try {
+    const r = await fetch('/frame.png?' + Date.now());
+    const blob = await r.blob();
+    img.src = URL.createObjectURL(blob);
+    const s = await (await fetch('/state')).json();
+    status.textContent = `frame ${s.frame_index}/${s.max_frames}  ` +
+      `${s.width}x${s.height}  ${s.prims} prims`;
+  } finally { busy = false; }
+}
+setInterval(refresh, 150);
+img.addEventListener('pointerdown', e => { dragging = true; lastX = e.clientX; lastY = e.clientY; });
+window.addEventListener('pointerup', () => dragging = false);
+window.addEventListener('pointermove', async e => {
+  if (!dragging) return;
+  const dx = e.clientX - lastX, dy = e.clientY - lastY;
+  lastX = e.clientX; lastY = e.clientY;
+  if (dx || dy) await fetch('/orbit', {method:'POST', body: JSON.stringify({dx, dy})});
+});
+window.addEventListener('keydown', async e => {
+  const k = e.key.toLowerCase();
+  if ('wasdqe'.includes(k)) {
+    await fetch('/fly', {method:'POST', body: JSON.stringify({keys:[k], dt:0.1})});
+  } else if ('0123'.includes(k)) {
+    await fetch('/settings', {method:'POST', body: JSON.stringify({vis_mode: +k})});
+  }
+});
+</script>
+</body></html>
+"""
+
+
+class ViewerState:
+    def __init__(self, renderer, logger=None):
+        self.renderer = renderer
+        self.logger = logger
+        self.lock = threading.Lock()
+
+    def frame_png(self) -> bytes:
+        from PIL import Image
+
+        with self.lock:
+            self.renderer.render_frame()
+            img = self.renderer.image_u8()
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, "PNG")
+        return buf.getvalue()
+
+    def state(self) -> dict:
+        r = self.renderer
+        return {
+            "frame_index": r.frame_index,
+            "max_frames": r.settings.max_frames,
+            "width": r.width,
+            "height": r.height,
+            "prims": r.scene.prim_count,
+            "camera": {
+                "target": [float(v) for v in np.asarray(r.camera.target)],
+                "distance": float(r.camera.distance),
+            },
+            "vis_mode": r.settings.vis_mode,
+        }
+
+    def orbit(self, dx: float, dy: float) -> None:
+        with self.lock:
+            self.renderer.camera.drag(dx, dy)
+            self.renderer.reset_accumulation()
+
+    def fly(self, keys, dt: float) -> None:
+        with self.lock:
+            if self.renderer.camera.fly(keys, dt):
+                self.renderer.reset_accumulation()
+
+    def update_settings(self, updates: dict) -> None:
+        with self.lock:
+            for key, value in updates.items():
+                if hasattr(self.renderer.settings, key):
+                    setattr(self.renderer.settings, key, value)
+            self.renderer.reset_accumulation()
+
+
+def _make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/":
+                self._send(200, VIEWER_HTML.encode(), "text/html; charset=utf-8")
+            elif path == "/frame.png":
+                self._send(200, state.frame_png(), "image/png")
+            elif path == "/state":
+                self._send(200, json.dumps(state.state()).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._send(400, b'{"error": "bad json"}')
+                return
+            path = self.path.split("?")[0]
+            if path == "/orbit":
+                state.orbit(float(body.get("dx", 0)), float(body.get("dy", 0)))
+            elif path == "/fly":
+                state.fly(body.get("keys", []), float(body.get("dt", 0.016)))
+            elif path == "/settings":
+                state.update_settings(body)
+            else:
+                self._send(404, b'{"error": "not found"}')
+                return
+            self._send(200, b'{"ok": true}')
+
+        def log_message(self, fmt, *args):
+            if state.logger:
+                state.logger.info(f"[http] {fmt % args}")
+
+    return Handler
+
+
+def serve(renderer, host="127.0.0.1", port=8000, logger=None):
+    state = ViewerState(renderer, logger)
+    server = ThreadingHTTPServer((host, port), _make_handler(state))
+    if logger:
+        logger.info(f"Viewer at http://{host}:{port}/ (Ctrl-C to stop)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+def asgi_app(renderer, logger=None):
+    """Minimal ASGI wrapper over the same state (run with uvicorn for
+    parity with the reference's ASGI dev server)."""
+    state = ViewerState(renderer, logger)
+
+    async def app(scope, receive, send):
+        if scope["type"] != "http":
+            return
+        path = scope["path"]
+        method = scope["method"]
+
+        async def respond(code, body, ctype="application/json"):
+            await send({
+                "type": "http.response.start",
+                "status": code,
+                "headers": [
+                    (b"content-type", ctype.encode()),
+                    (b"cache-control", b"no-store"),
+                ],
+            })
+            await send({"type": "http.response.body", "body": body})
+
+        if method == "GET":
+            if path == "/":
+                await respond(200, VIEWER_HTML.encode(), "text/html; charset=utf-8")
+            elif path == "/frame.png":
+                await respond(200, state.frame_png(), "image/png")
+            elif path == "/state":
+                await respond(200, json.dumps(state.state()).encode())
+            else:
+                await respond(404, b'{"error": "not found"}')
+        elif method == "POST":
+            body = b""
+            while True:
+                event = await receive()
+                body += event.get("body", b"")
+                if not event.get("more_body"):
+                    break
+            try:
+                data = json.loads(body or b"{}")
+            except json.JSONDecodeError:
+                await respond(400, b'{"error": "bad json"}')
+                return
+            if path == "/orbit":
+                state.orbit(float(data.get("dx", 0)), float(data.get("dy", 0)))
+            elif path == "/fly":
+                state.fly(data.get("keys", []), float(data.get("dt", 0.016)))
+            elif path == "/settings":
+                state.update_settings(data)
+            else:
+                await respond(404, b'{"error": "not found"}')
+                return
+            await respond(200, b'{"ok": true}')
+
+    return app

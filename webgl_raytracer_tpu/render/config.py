@@ -90,6 +90,10 @@ class RenderSettings:
     lights: list[LightSettings] = field(default_factory=default_lights)
     clip_enabled: bool = False
     clip_distance: float = 0.0
+    clip_locked: bool = False
+    clip_locked_normal: tuple | None = None
+    clip_locked_offset: float | None = None
+    clip_locked_side: float | None = None
     vis_mode: int = 0               # 0 render, 1 normals, 2 cost, 3 depth
     tracer: str = "wavefront"       # device tracer: "wavefront" or "stack"
 

@@ -104,17 +104,51 @@ class Renderer:
         return self._px, self._py
 
     def active_clip_plane(self, basis):
-        """Camera-forward clip plane (main.js getActiveClipPlane :1384-1416,
-        without the lock feature). Returns None or (normal, offset, side)."""
-        if not self.settings.clip_enabled:
+        """Camera-forward clip plane with optional locking (main.js
+        getActiveClipPlane :1384-1416). Returns None or
+        (normal, offset, side)."""
+        s = self.settings
+        if not s.clip_enabled:
             return None
-        normal = np.asarray(basis.forward, np.float64)
-        normal = normal / (np.linalg.norm(normal) or 1.0)
-        plane_point = np.asarray(basis.origin) + normal * self.settings.clip_distance
-        offset = float(normal @ plane_point)
-        cam_side = float(normal @ np.asarray(basis.origin)) - offset
-        side = 1.0 if cam_side >= 0 else -1.0
+        if s.clip_locked and s.clip_locked_normal is not None:
+            normal = np.asarray(s.clip_locked_normal, np.float64)
+            normal = normal / (np.linalg.norm(normal) or 1.0)
+        else:
+            normal = np.asarray(basis.forward, np.float64)
+            normal = normal / (np.linalg.norm(normal) or 1.0)
+
+        locked_offset = s.clip_locked and s.clip_locked_offset is not None
+        if locked_offset:
+            offset = float(s.clip_locked_offset)
+        else:
+            plane_point = np.asarray(basis.origin) + normal * s.clip_distance
+            offset = float(normal @ plane_point)
+
+        if s.clip_locked and s.clip_locked_side is not None:
+            side = float(s.clip_locked_side)
+        else:
+            cam_side = float(normal @ np.asarray(basis.origin)) - offset
+            side = 1.0 if cam_side >= 0 else -1.0
         return (normal.astype(np.float32), offset, side)
+
+    def lock_clip_plane(self) -> None:
+        """Freeze the current camera-derived clip plane in world space
+        (main.js clip-lock toggle)."""
+        basis = self.camera.basis()
+        plane = self.active_clip_plane(basis)
+        if plane is None:
+            return
+        normal, offset, side = plane
+        self.settings.clip_locked = True
+        self.settings.clip_locked_normal = tuple(float(v) for v in normal)
+        self.settings.clip_locked_offset = offset
+        self.settings.clip_locked_side = side
+
+    def unlock_clip_plane(self) -> None:
+        self.settings.clip_locked = False
+        self.settings.clip_locked_normal = None
+        self.settings.clip_locked_offset = None
+        self.settings.clip_locked_side = None
 
     # -- rendering ----------------------------------------------------------
 
@@ -182,3 +216,41 @@ class Renderer:
 
     def image_u8(self) -> np.ndarray:
         return (np.clip(self.image(), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the progressive accumulation state + camera to disk.
+
+        The accumulator IS the resumable state (SURVEY §5): the running
+        mean plus its sample count; the reference keeps it only in GPU
+        memory, here it round-trips to .npz."""
+        accum = (np.asarray(self._accum) if self._accum is not None
+                 else np.zeros((self.width * self.height, 3), np.float32))
+        np.savez_compressed(
+            path,
+            accum=accum,
+            frame_index=self.frame_index,
+            width=self.width,
+            height=self.height,
+            cam_target=np.asarray(self.camera.target, np.float64),
+            cam_distance=self.camera.distance,
+            cam_rotation=np.asarray(self.camera.rotation, np.float64),
+            cam_fov=self.camera.fov,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume accumulation from a checkpoint (must match resolution)."""
+        data = np.load(path)
+        w, h = int(data["width"]), int(data["height"])
+        if (w, h) != (self.width, self.height):
+            raise ValueError(
+                f"Checkpoint resolution {w}x{h} != renderer {self.width}x{self.height}"
+            )
+        self._pixel_grids()  # ensure the permutation exists
+        self._accum = jnp.asarray(data["accum"])
+        self.frame_index = int(data["frame_index"])
+        self.camera.target = data["cam_target"]
+        self.camera.distance = float(data["cam_distance"])
+        self.camera.rotation = data["cam_rotation"]
+        self.camera.fov = float(data["cam_fov"])

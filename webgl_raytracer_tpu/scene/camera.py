@@ -116,6 +116,41 @@ class OrbitCamera:
             bounds_min, bounds_max, self.fov
         )
 
+    def fly(self, keys, dt: float) -> bool:
+        """WASDQE target fly (main.js updateCameraFromInput :1319-1366):
+        w/s along camera forward, a/d along camera right, q/e world up/down;
+        speed = distance * 0.6 * dt. Returns True if the camera moved."""
+        keys = set(keys)
+        if not keys & {"w", "a", "s", "d", "q", "e"}:
+            return False
+        basis = self.basis()
+        speed = self.distance * 0.6 * dt
+        forward = np.asarray(basis.forward)
+        right = np.asarray(basis.right)
+        right = right / (np.linalg.norm(right) or 1.0)
+        target = np.asarray(self.target, np.float64)
+        moved = False
+        if "w" in keys:
+            target = target + forward * speed
+            moved = True
+        if "s" in keys:
+            target = target - forward * speed
+            moved = True
+        if "a" in keys:
+            target = target - right * speed
+            moved = True
+        if "d" in keys:
+            target = target + right * speed
+            moved = True
+        if "q" in keys:
+            target = target + np.array([0.0, speed, 0.0])
+            moved = True
+        if "e" in keys:
+            target = target - np.array([0.0, speed, 0.0])
+            moved = True
+        self.target = target
+        return moved
+
 
 def camera_basis(target, distance, rotation, fov, width, height) -> CameraBasis:
     """computeCameraVectors (main.js:1278-1317): orbit origin behind target,
