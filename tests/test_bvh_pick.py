@@ -191,3 +191,48 @@ class TestRayPick:
         geo = make_geometry([(np.zeros(3), 1.0, np.ones(3))])
         scene = compile_scene(geo)
         assert scene_scale(scene) == pytest.approx(np.sqrt(12) / 2, rel=1e-5)
+
+
+class TestNativeBuilder:
+    def test_native_matches_oracle_and_invariants(self):
+        """The C++ SAH builder produces a valid tree: full primitive
+        coverage, parent-child containment, and stack-walk results that
+        match brute force (trees may differ from the Python builder by
+        f32-vs-f64 SAH tie-breaks; both are valid)."""
+        from webgl_raytracer_tpu.scene.bvh import build_bvh
+        try:
+            from webgl_raytracer_tpu.native import load_bvh_builder
+            if load_bvh_builder() is None:
+                pytest.skip("no native toolchain")
+        except Exception:
+            pytest.skip("no native toolchain")
+
+        rng = np.random.default_rng(3)
+        n = 400
+        centers = ((rng.random((n, 3)) - 0.5) * 12).astype(np.float32)
+        radii = (0.1 + rng.random(n) * 0.3).astype(np.float32)
+        bvh = build_bvh(sphere_centers=centers, sphere_radii=radii,
+                        backend="native")
+        assert sorted(bvh.prim_order.tolist()) == list(range(n))
+        for i in range(bvh.node_count):
+            lf, pc, rc = bvh.node_meta[i]
+            if pc == 0 and rc >= 0:
+                for ch in (lf, rc):
+                    assert (bvh.node_bmin[i] <= bvh.node_bmin[ch] + 1e-5).all()
+                    assert (bvh.node_bmax[i] >= bvh.node_bmax[ch] - 1e-5).all()
+
+        colors = rng.random((n, 3)).astype(np.float32)
+        z3 = np.zeros((0, 3), np.float32)
+        z1 = np.zeros((0,), np.float32)
+        scene = compile_scene(Geometry(centers, radii, colors, z3, z3, z1, z3))
+        origins = rng.uniform(-18, 18, (64, 3))
+        dirs = rng.normal(size=(64, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        oracle = brute_force_closest(scene, origins, dirs, t_min=1e-5)
+        for r in range(64):
+            hit = trace_scene_ray(scene, origins[r], dirs[r], t_min=1e-5)
+            if oracle["prim_type"][r] < 0:
+                assert hit is None
+            else:
+                assert hit is not None
+                assert hit.prim_index == oracle["prim_index"][r]

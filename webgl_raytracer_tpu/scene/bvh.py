@@ -189,6 +189,40 @@ def _sah_split(
     return left, right
 
 
+def _build_native(bmin, bmax, cent, n, max_leaf_size, max_depth):
+    """Build with the C++ builder (native/bvh_builder.cpp); None when the
+    native library is unavailable."""
+    import ctypes
+
+    from ..native import load_bvh_builder
+
+    lib = load_bvh_builder()
+    if lib is None:
+        return None
+    cap = 2 * n
+    bmin32 = np.ascontiguousarray(bmin, np.float32)
+    bmax32 = np.ascontiguousarray(bmax, np.float32)
+    cent32 = np.ascontiguousarray(cent, np.float32)
+    node_bmin = np.empty((cap, 3), np.float32)
+    node_bmax = np.empty((cap, 3), np.float32)
+    node_meta = np.empty((cap, 3), np.int32)
+    prim_order = np.empty(n, np.int64)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    count = lib.wrt_build_bvh(
+        ptr(bmin32, ctypes.c_float), ptr(bmax32, ctypes.c_float),
+        ptr(cent32, ctypes.c_float), n, max_leaf_size, max_depth,
+        ptr(node_bmin, ctypes.c_float), ptr(node_bmax, ctypes.c_float),
+        ptr(node_meta, ctypes.c_int), ptr(prim_order, ctypes.c_longlong),
+    )
+    if count <= 0:
+        return None
+    return (node_bmin[:count].copy(), node_bmax[:count].copy(),
+            node_meta[:count].copy(), prim_order)
+
+
 def build_bvh(
     tri_verts: np.ndarray | None = None,
     sphere_centers: np.ndarray | None = None,
@@ -198,6 +232,7 @@ def build_bvh(
     cyl_radii: np.ndarray | None = None,
     max_leaf_size: int = DEFAULT_MAX_LEAF,
     max_depth: int = DEFAULT_MAX_DEPTH,
+    backend: str = "auto",
 ) -> BVH:
     """Build the unified BVH and flatten it in one pass.
 
@@ -247,6 +282,23 @@ def build_bvh(
         np.arange(cylinder_count, dtype=np.int64),
     ])
     encoded_all = ((types << 30) | (locals_ & 0x3FFFFFFF)).astype(np.int64)
+
+    if backend in ("auto", "native"):
+        native = _build_native(bmin, bmax, cent, n, max_leaf_size, max_depth)
+        if native is not None:
+            node_bmin_n, node_bmax_n, node_meta_n, prim_order = native
+            return BVH(
+                node_bmin=node_bmin_n,
+                node_bmax=node_bmax_n,
+                node_meta=node_meta_n,
+                prim_encoded=encoded_all[prim_order].astype(np.int32),
+                prim_order=prim_order,
+                tri_count=tri_count,
+                sphere_count=sphere_count,
+                cylinder_count=cylinder_count,
+            )
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable (no compiler?)")
 
     nodes_bmin: list[np.ndarray] = []
     nodes_bmax: list[np.ndarray] = []
