@@ -60,12 +60,13 @@ def main() -> None:
     jax.block_until_ready(color)
     rays_per_frame = int(nrays)
 
-    # Warm up the production kernel, then time it.
-    r.render_frame()
+    # Warm up the production kernel, then time a fused multi-frame block
+    # (per-launch tunnel latency otherwise dominates on this test rig).
+    r.settings.max_frames = 10 ** 9
+    r.render_frames(frames)
     jax.block_until_ready(r._accum)
     t0 = time.perf_counter()
-    for _ in range(frames):
-        r.render_frame()
+    r.render_frames(frames)
     jax.block_until_ready(r._accum)
     dt = (time.perf_counter() - t0) / frames
 

@@ -9,6 +9,8 @@ array updated functionally inside jit.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,6 +27,27 @@ from .lights import light_dirs_for_camera
 def _accumulate(prev, color, frame_index):
     fi = frame_index.astype(jnp.float32)
     return jnp.where(frame_index == 0, color, (prev * fi + color) / (fi + 1.0))
+
+
+@partial(jax.jit, static_argnames=("flags", "count"))
+def _render_frames_fused(scene, env, vol, flags, u, px, py, start_frame, prev,
+                         count):
+    """`count` progressive frames folded into one device program (a scan
+    over the frame index) — amortizes per-launch overhead, which dominates
+    when the chip sits behind a high-latency tunnel."""
+    from .integrator import render_batch
+
+    def step(accum, k):
+        frame_index = start_frame + k
+        color = render_batch(scene, env, vol, flags, u, px, py,
+                             frame_index.astype(jnp.uint32))
+        fi = frame_index.astype(jnp.float32)
+        accum = jnp.where(frame_index == 0, color,
+                          (accum * fi + color) / (fi + 1.0))
+        return accum, None
+
+    accum, _ = jax.lax.scan(step, prev, jnp.arange(count, dtype=jnp.int32))
+    return accum
 
 
 class Renderer:
@@ -190,13 +213,46 @@ class Renderer:
         self.frame_index += 1
         return True
 
+    def render_frames(self, count: int) -> bool:
+        """Trace `count` progressive frames in ONE device program (fused
+        scan). Semantically identical to count render_frame() calls for the
+        path-traced mode; falls back to the per-frame path for vis modes.
+        Returns False when max_frames was already reached."""
+        s = self.settings
+        if s.max_frames > 0:
+            count = min(count, max(0, s.max_frames - self.frame_index))
+        if count <= 0:
+            return False
+        if s.vis_mode > 0 or count == 1:
+            for _ in range(count):
+                if not self.render_frame():
+                    return False
+            return True
+
+        basis = self.camera.basis()
+        light_dirs = light_dirs_for_camera(s.lights, basis)
+        clip = self.active_clip_plane(basis)
+        flags, uniforms = split_settings(
+            s, basis, light_dirs,
+            has_env=self.env is not None,
+            has_volume=self.volume is not None,
+            clip=clip,
+        )
+        px, py = self._pixel_grids()
+        prev = (self._accum if self._accum is not None and self.frame_index > 0
+                else jnp.zeros((self.width * self.height, 3), jnp.float32))
+        self._accum = _render_frames_fused(
+            self.scene, self.env, self.volume, flags, uniforms, px, py,
+            jnp.int32(self.frame_index), prev, count,
+        )
+        self.frame_index += count
+        return True
+
     def render(self, frames: int | None = None) -> np.ndarray:
         """Render `frames` progressive frames (default: settings.max_frames)
         and return the tone-mapped image u8[H,W,3]."""
         n = frames if frames is not None else max(1, self.settings.max_frames)
-        for _ in range(n):
-            if not self.render_frame():
-                break
+        self.render_frames(n)
         return self.image()
 
     # -- output -------------------------------------------------------------

@@ -104,6 +104,12 @@ def _any_hit(scene, flags, o3, d3, t_min, clip, accept_min=None,
         lambda _: jnp.zeros(o3[0].shape, bool), None)
 
 
+def _trace_or_skip(scene, flags, origin, direction, t_min, clip, active):
+    """Closest hit gated on `active` (used by the compaction path, where
+    bounce 0 reuses a precomputed record and only later bounces trace)."""
+    return _closest_hit(scene, flags, origin, direction, t_min, clip, active=active)
+
+
 def _fetch_hit_rows(scene, flags, slot):
     """Hit-row fetch -> component data: (pa (x,y,z), ra, pb, pc, color).
     One [B,12] gather (wavefront table) or three [B,4] gathers (stack)."""
@@ -216,11 +222,15 @@ def _ggx_eval(sn, v, l, rough, f0):
     return V.scale(f, k), f
 
 
-def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=False):
+def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=False,
+                first_rec=None):
     """Full path trace for a flat ray batch (component-form rays).
 
-    origin0/dir0: component triples of [B]. Returns (radiance triple, seed)
-    or with stats (radiance, seed, rays_traced)."""
+    origin0/dir0: component triples of [B]. `first_rec` optionally supplies
+    a precomputed bounce-0 closest-hit record (the compaction path traces
+    primaries for the full frame, partitions rays hit-first, then runs the
+    rest of the transport on the compacted order). Returns (radiance
+    triple, seed) or with stats (radiance, seed, rays_traced)."""
     n = origin0[0].shape[0]
     bias = jnp.maximum(u.ray_bias, 1e-4)
     clip = _clip_tuple(flags, u)
@@ -235,8 +245,18 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
         throughput = (tpx, tpy, tpz)
         radiance = (rx, ry, rz)
 
-        nrays = nrays + jnp.sum(alive.astype(jnp.int32))
-        rec = _closest_hit(scene, flags, origin, direction, u.t_min, clip, active=alive)
+        if first_rec is not None:
+            nrays = nrays + jnp.sum(alive.astype(jnp.int32))
+            rec = jax.tree_util.tree_map(
+                lambda pre, live: jax.lax.select_n(
+                    (bounce == 0).astype(jnp.int32), live, pre),
+                first_rec,
+                _trace_or_skip(scene, flags, origin, direction, u.t_min, clip,
+                               alive & (bounce > 0)),
+            )
+        else:
+            nrays = nrays + jnp.sum(alive.astype(jnp.int32))
+            rec = _closest_hit(scene, flags, origin, direction, u.t_min, clip, active=alive)
         hit = rec.prim_type >= 0
         t_surface = jnp.where(hit, rec.t, BIG)
 
@@ -269,6 +289,27 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
         add = V.scale(V.mul(throughput, env_contrib), mis_w)
         radiance = V.add(radiance, V.where(miss, add, V.zeros_like(add[0])))
         alive = alive & hit
+
+        carry_mid = (seed, origin[0], origin[1], origin[2],
+                     direction[0], direction[1], direction[2],
+                     throughput[0], throughput[1], throughput[2],
+                     radiance[0], radiance[1], radiance[2],
+                     last_pdf, alive, nrays)
+
+        # Everything below runs only when some lane in this chunk hit —
+        # all-miss (pure background) chunks return here.
+        return jax.lax.cond(jnp.any(alive),
+                            lambda c: shade_tail(bounce, rec, c),
+                            lambda c: c, carry_mid)
+
+    def shade_tail(bounce, rec, carry):
+        (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
+         rx, ry, rz, last_pdf, alive, nrays) = carry
+        origin = (ox, oy, oz)
+        direction = (dx, dy, dz)
+        throughput = (tpx, tpy, tpz)
+        radiance = (rx, ry, rz)
+        hit = rec.prim_type >= 0
 
         # --- surface reconstruction ---
         pos = V.add(origin, V.scale(direction, rec.t))
@@ -576,47 +617,93 @@ def _run_chunked(fn, n, *arrays):
         lambda a: a.reshape((chunks * size,) + a.shape[2:]), out)
 
 
+def _hit_first_permutation(hit):
+    """O(n) stable partition permutation: hit lanes first, misses after.
+    Returns (perm, inv_perm) index arrays."""
+    n = hit.shape[0]
+    hit_i = hit.astype(jnp.int32)
+    n_hit = jnp.sum(hit_i)
+    pos_hit = jnp.cumsum(hit_i) - 1
+    pos_miss = n_hit + jnp.cumsum(1 - hit_i) - 1
+    inv = jnp.where(hit, pos_hit, pos_miss)          # ray i -> sorted slot
+    perm = jnp.zeros(n, jnp.int32).at[inv].set(jnp.arange(n, dtype=jnp.int32))
+    return perm, inv
+
+
+def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
+                     with_stats=False):
+    """One full path-traced sample for every pixel, with hit-first
+    compaction: primaries trace unchunked, rays are then stably partitioned
+    so hits are contiguous, and all remaining transport (shading, shadows,
+    secondary bounces) runs as a chunk scan where all-miss chunks skip
+    everything past the environment lookup."""
+    seed, origin, direction = generate_camera_rays(u, flags, px, py, frame_index, s)
+    n = px.shape[0]
+    chunks = _chunk_count(n)
+    clip = _clip_tuple(flags, u)
+
+    if chunks == 1:
+        return trace_paths(scene, env, vol, flags, u, origin, direction, seed,
+                           with_stats=with_stats)
+
+    rec0 = _closest_hit(scene, flags, origin, direction, u.t_min, clip)
+    perm, inv = _hit_first_permutation(rec0.prim_type >= 0)
+
+    state = (seed,) + origin + direction + tuple(rec0)
+    state = tuple(a[perm] for a in state)
+    size = n // chunks
+    state = tuple(a.reshape((chunks, size) + a.shape[1:]) for a in state)
+
+    from ..ops.traversal import HitRecord
+
+    def chunk_fn(args):
+        seed_c = args[0]
+        origin_c = args[1:4]
+        direction_c = args[4:7]
+        rec_c = HitRecord(*args[7:])
+        out = trace_paths(scene, env, vol, flags, u, origin_c, direction_c,
+                          seed_c, with_stats=with_stats, first_rec=rec_c)
+        if with_stats:
+            radiance, seed_o, nrays = out
+            return V.to_array(radiance), nrays
+        radiance, seed_o = out
+        return V.to_array(radiance)
+
+    out = jax.lax.map(chunk_fn, state)
+    if with_stats:
+        colors, nrays = out
+        # The primary traversal itself counted n rays before compaction.
+        total_rays = jnp.sum(nrays)
+        colors = colors.reshape(n, 3)[inv]
+        return V.from_array(colors), seed, total_rays
+    colors = out.reshape(n, 3)[inv]
+    return V.from_array(colors), seed
+
+
 @partial(jax.jit, static_argnames=("flags",))
 def render_batch(scene, env, vol, flags, u, px, py, frame_index):
     """One progressive sample per pixel -> color f32[B,3] (exposure applied
     pre-accumulation, webgl.js:1520-1549)."""
-    def chunk_fn(px_c, py_c):
-        total = V.full(px_c.shape, 0.0)
-        for s in range(flags.spp):
-            seed, origin, direction = generate_camera_rays(
-                u, flags, px_c, py_c, frame_index, s)
-            radiance, seed = trace_paths(scene, env, vol, flags, u,
-                                         origin, direction, seed)
-            total = V.add(total, radiance)
-        return V.to_array(V.scale(total, u.exposure / flags.spp))
-
-    return _run_chunked(chunk_fn, px.shape[0], px, py)
+    total = V.full(px.shape, 0.0)
+    for s in range(flags.spp):
+        radiance, _ = _sample_radiance(scene, env, vol, flags, u, px, py,
+                                       frame_index, s)
+        total = V.add(total, radiance)
+    return V.to_array(V.scale(total, u.exposure / flags.spp))
 
 
 @partial(jax.jit, static_argnames=("flags",))
 def render_batch_stats(scene, env, vol, flags, u, px, py, frame_index):
     """render_batch + traced-ray count (the Mrays/s denominator)."""
-    def chunk_fn(px_c, py_c):
-        total = V.full(px_c.shape, 0.0)
-        rays = jnp.zeros((), jnp.int32)
-        for s in range(flags.spp):
-            seed, origin, direction = generate_camera_rays(
-                u, flags, px_c, py_c, frame_index, s)
-            radiance, seed, nrays = trace_paths(
-                scene, env, vol, flags, u, origin, direction, seed,
-                with_stats=True)
-            total = V.add(total, radiance)
-            rays = rays + nrays
-        return V.to_array(V.scale(total, u.exposure / flags.spp)), rays
-
-    chunks = _chunk_count(px.shape[0])
-    if chunks == 1:
-        return chunk_fn(px, py)
-    size = px.shape[0] // chunks
-    out, rays = jax.lax.map(
-        lambda xs: chunk_fn(*xs),
-        (px.reshape(chunks, size), py.reshape(chunks, size)))
-    return out.reshape(chunks * size, 3), jnp.sum(rays)
+    total = V.full(px.shape, 0.0)
+    rays = jnp.zeros((), jnp.int32)
+    for s in range(flags.spp):
+        out = _sample_radiance(scene, env, vol, flags, u, px, py,
+                               frame_index, s, with_stats=True)
+        radiance, _, nrays = out
+        total = V.add(total, radiance)
+        rays = rays + nrays
+    return V.to_array(V.scale(total, u.exposure / flags.spp)), rays
 
 
 @partial(jax.jit, static_argnames=("flags",))
