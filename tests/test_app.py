@@ -209,3 +209,25 @@ class TestUtils:
         assert len(lines) == 3
         assert "ERROR: bad" in lines[-1]
         assert "WARN: careful" in lines[-2]
+
+
+class TestDistributed:
+    def test_mesh_sharded_renderer_matches_single_device(self):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        from webgl_raytracer_tpu.env import constant_env
+        from webgl_raytracer_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        loaded = load_test_primitives()
+        rm = Renderer(loaded.scene, env=constant_env(0.5), width=32, height=32,
+                      mesh=mesh)
+        rm.settings.tone_map = "linear"
+        rm.render_frames(4)
+        r1 = Renderer(load_test_primitives().scene, env=constant_env(0.5),
+                      width=32, height=32)
+        r1.settings.tone_map = "linear"
+        r1.render_frames(4)
+        np.testing.assert_allclose(rm.accumulated(), r1.accumulated(), atol=1e-5)

@@ -119,6 +119,9 @@ class StaticFlags:
     vis_mode: int = 0
     rim_enabled: bool = True
     tracer: str = "wavefront"   # "wavefront" (dense cluster) or "stack"
+    # Multi-chip mode: skip the host-order compaction/chunk scan so the ray
+    # axis shards cleanly under GSPMD (no cross-shard permutation).
+    distributed: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -172,6 +175,7 @@ def split_settings(
     has_env: bool,
     has_volume: bool,
     clip=None,
+    distributed: bool = False,
 ) -> tuple[StaticFlags, Uniforms]:
     """Build the (static, dynamic) pair for the jitted integrator.
 
@@ -196,6 +200,7 @@ def split_settings(
         vis_mode=int(s.vis_mode),
         rim_enabled=bool(s.rim_boost > 0.0),
         tracer=str(s.tracer),
+        distributed=bool(distributed),
     )
 
     if clip is None:

@@ -64,12 +64,24 @@ class Renderer:
         width: int = 800,
         height: int = 600,
         device=None,
+        mesh=None,
         auto_fit: bool = True,
     ):
+        """With `mesh` (a jax.sharding.Mesh) the scene/env/volume replicate
+        to every device and the flat ray batch shards over the mesh's first
+        axis — pure tile data parallelism, collectives only at readout."""
         self.settings = settings or RenderSettings()
-        self.scene = scene.device_put(device) if isinstance(scene.node_bmin, np.ndarray) else scene
-        self.env = env
-        self.volume = volume
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicate_scene
+
+            self.scene = replicate_scene(scene, mesh)
+            self.env = replicate_scene(env, mesh) if env is not None else None
+            self.volume = replicate_scene(volume, mesh) if volume is not None else None
+        else:
+            self.scene = scene.device_put(device) if isinstance(scene.node_bmin, np.ndarray) else scene
+            self.env = env
+            self.volume = volume
         self.width = int(width)
         self.height = int(height)
         self.camera = OrbitCamera(width=self.width, height=self.height)
@@ -122,8 +134,15 @@ class Renderer:
             inverse[order] = np.arange(w * h)
             self._unperm = jnp.asarray(inverse)
             # gl_FragCoord convention: y = 0 is the bottom row.
-            self._px = jnp.asarray(xs)
-            self._py = jnp.asarray((h - 1 - ys_img).astype(np.uint32))
+            px = jnp.asarray(xs)
+            py = jnp.asarray((h - 1 - ys_img).astype(np.uint32))
+            if self.mesh is not None:
+                from ..parallel import shard_rays
+
+                px = shard_rays(px, self.mesh)[: w * h]
+                py = shard_rays(py, self.mesh)[: w * h]
+            self._px = px
+            self._py = py
         return self._px, self._py
 
     def active_clip_plane(self, basis):
@@ -190,6 +209,7 @@ class Renderer:
             has_env=self.env is not None,
             has_volume=self.volume is not None,
             clip=clip,
+            distributed=self.mesh is not None,
         )
         px, py = self._pixel_grids()
 
@@ -237,6 +257,7 @@ class Renderer:
             has_env=self.env is not None,
             has_volume=self.volume is not None,
             clip=clip,
+            distributed=self.mesh is not None,
         )
         px, py = self._pixel_grids()
         prev = (self._accum if self._accum is not None and self.frame_index > 0

@@ -639,7 +639,7 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
     everything past the environment lookup."""
     seed, origin, direction = generate_camera_rays(u, flags, px, py, frame_index, s)
     n = px.shape[0]
-    chunks = _chunk_count(n)
+    chunks = 1 if flags.distributed else _chunk_count(n)
     clip = _clip_tuple(flags, u)
 
     if chunks == 1:
