@@ -231,3 +231,14 @@ class TestDistributed:
         r1.settings.tone_map = "linear"
         r1.render_frames(4)
         np.testing.assert_allclose(rm.accumulated(), r1.accumulated(), atol=1e-5)
+
+
+class TestMaterialModes:
+    def test_material_mode_mapping(self):
+        """String -> int mapping parity (webgl_material.test.mjs)."""
+        from webgl_raytracer_tpu.render.config import MATERIAL_MODES
+
+        assert MATERIAL_MODES["metallic"] == 0
+        assert MATERIAL_MODES["matte"] == 1
+        assert MATERIAL_MODES["surface-glass"] == 2
+        assert MATERIAL_MODES["translucent-plastic"] == 3

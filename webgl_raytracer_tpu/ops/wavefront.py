@@ -429,7 +429,7 @@ def _tile_trace(scene, o3, d3, t_min, clip, any_hit, accept_min, t_max,
             jnp.min(tile_entry, axis=1) < tile_bound(closest))
 
     def body(s):
-        it, tile_entry, closest, best_row, found = s
+        it, tile_entry, closest, best_row, found, tile_cost = s
         knext = jnp.argmin(tile_entry, axis=1)                       # [T]
         tnext = tile_entry[tiles, knext]
         work_tile = tnext < tile_bound(closest)
@@ -583,7 +583,8 @@ def _tile_trace(scene, o3, d3, t_min, clip, any_hit, accept_min, t_max,
             best_row = jnp.where(upd, row_id, best_row)
 
         tile_entry = tile_entry.at[tiles, knext].set(INF)
-        return it + 1, tile_entry, closest, best_row, found
+        tile_cost = tile_cost + work_tile.astype(jnp.int32) * (c + 1)
+        return it + 1, tile_entry, closest, best_row, found, tile_cost
 
     init = (
         jnp.zeros((), jnp.int32),
@@ -591,15 +592,21 @@ def _tile_trace(scene, o3, d3, t_min, clip, any_hit, accept_min, t_max,
         closest0,
         jnp.full((n,), -1, jnp.int32),
         jnp.zeros((n,), bool),
+        jnp.zeros((n_tiles,), jnp.int32),
     )
-    _, _, closest, best_row, found = jax.lax.while_loop(cond, body, init)
+    _, _, closest, best_row, found, tile_cost = jax.lax.while_loop(
+        cond, body, init)
+
+    # Per-ray traversal-cost channel (vis mode 2): every ray in a tile paid
+    # for each cluster block the tile tested.
+    cost = jnp.repeat(tile_cost, TILE)
 
     if any_hit:
         if active is not None:
             found = found & active
         return found
     return _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row,
-                         cost=jnp.zeros((n,), jnp.int32))
+                         cost=cost)
 
 
 def _dense_trace(scene, o3, d3, t_min, clip, any_hit, accept_min,
