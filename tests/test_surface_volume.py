@@ -144,3 +144,31 @@ class TestSES:
         mesh = ses_to_mesh(v, n, idx)
         assert mesh.has_surface_flags()
         assert mesh.tri_colors.shape == (idx.shape[0], 3)
+
+
+def test_marching_cubes_device_matches_numpy():
+    """ops/marching.py (jitted MC, fixed-capacity compaction) must produce
+    the same vertex set / triangle set as the numpy path."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(25, 3)) * 3
+    radii = rng.uniform(1.2, 1.9, 25)
+    grid = compute_distance_field(
+        centers, radii, centers.min(0) - 2, centers.max(0) + 2,
+        0.5, 1.4, 1.0)
+    v0, n0, i0 = marching_cubes(grid, 0.0, backend="numpy")
+
+    from webgl_raytracer_tpu.ops.marching import marching_cubes_device
+
+    v1, n1, i1 = marching_cubes_device(
+        grid.data, grid.grid_min, grid.resolution, grid.max_dist)
+    assert v0.shape == v1.shape and i0.shape == i1.shape
+    assert np.abs(v0 - v1).max() < 1e-5
+    assert np.abs(n0 - n1).max() < 1e-4
+    # Triangle order differs (k-slot-major vs cell-major) but the set is equal.
+    assert (set(map(tuple, np.sort(i0, 1).tolist()))
+            == set(map(tuple, np.sort(i1, 1).tolist())))
+
+    v2, _, _ = marching_cubes_device(
+        grid.data, grid.grid_min, grid.resolution, grid.max_dist,
+        verts_only=True)
+    assert np.abs(v0 - v2).max() < 1e-5

@@ -65,6 +65,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--tone-map", default="aces", choices=("linear", "aces", "reinhard"))
     p.add_argument("--sky", action="store_true", help="analytic Preetham sky env")
+    p.add_argument("--no-env", action="store_true",
+                   help="disable environment lighting (lights only)")
     p.add_argument("--hdr", help="path to a .hdr environment map")
     p.add_argument("--env-intensity", type=float, default=0.1)
     p.add_argument("--dof", action="store_true")
@@ -131,11 +133,14 @@ def _make_renderer(args, loaded, logger) -> Renderer:
         tracer=args.tracer,
         volume_enabled=loaded.volume is not None,
     )
+    # The reference app always has an environment bound; its default is the
+    # analytic sky at envIntensity 0.1 (index.html:694 selected option,
+    # main.js:180). Match that unless the user opts out with --no-env.
     env = None
     if args.hdr:
         ctrl = EnvironmentController(logger=logger)
         env = ctrl.load_hdr_file(args.hdr)
-    elif args.sky:
+    elif args.sky or not args.no_env:
         ctrl = EnvironmentController(logger=logger)
         env = ctrl.load_analytic_sky()
 

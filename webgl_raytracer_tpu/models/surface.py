@@ -80,35 +80,71 @@ def compute_distance_field(
     size = gmax - gmin
     nx, ny, nz = (int(np.ceil(s / resolution)) + 1 for s in size)
 
-    data = np.full((nz, ny, nx), max_dist, np.float64)
-    xs = gmin[0] + resolution * np.arange(nx)
-    ys = gmin[1] + resolution * np.arange(ny)
-    zs = gmin[2] + resolution * np.arange(nz)
-
+    data = np.full((nz, ny, nx), max_dist, np.float32)
     inv_res = 1.0 / resolution
-    for (cx, cy, cz), r in zip(centers, radii):
-        sphere_r = r + probe_radius
-        reach = sphere_r + max_dist + resolution
-        ix0 = max(0, int(np.floor((cx - reach - gmin[0]) * inv_res)))
-        ix1 = min(nx - 1, int(np.ceil((cx + reach - gmin[0]) * inv_res)))
-        iy0 = max(0, int(np.floor((cy - reach - gmin[1]) * inv_res)))
-        iy1 = min(ny - 1, int(np.ceil((cy + reach - gmin[1]) * inv_res)))
-        iz0 = max(0, int(np.floor((cz - reach - gmin[2]) * inv_res)))
-        iz1 = min(nz - 1, int(np.ceil((cz + reach - gmin[2]) * inv_res)))
-        if ix1 < ix0 or iy1 < iy0 or iz1 < iz0:
-            continue
-        dx2 = (xs[ix0:ix1 + 1] - cx) ** 2
-        dy2 = (ys[iy0:iy1 + 1] - cy) ** 2
-        dz2 = (zs[iz0:iz1 + 1] - cz) ** 2
-        dist = np.sqrt(dz2[:, None, None] + dy2[None, :, None] + dx2[None, None, :]) - sphere_r
-        np.minimum(
-            data[iz0:iz1 + 1, iy0:iy1 + 1, ix0:ix1 + 1],
-            np.clip(dist, -max_dist, max_dist),
-            out=data[iz0:iz1 + 1, iy0:iy1 + 1, ix0:ix1 + 1],
-        )
+
+    if radii.size and np.all(radii == radii[0]):
+        # Uniform radius (the SES probe-respray pass sprays hundreds of
+        # thousands of EQUAL spheres, surface_webgl.js:1051-1077): the
+        # nearest center is the nearest surface, so one exact KD-tree
+        # nearest-neighbor query per voxel replaces per-sphere splatting.
+        from scipy.ndimage import maximum_filter
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(centers)
+        sphere_r = float(radii[0]) + probe_radius
+        reach_cells = int(np.ceil((sphere_r + max_dist) * inv_res)) + 1
+
+        # Shell prefilter: only voxels within reach of some center can end
+        # below the +max_dist background — mark center cells and dilate by
+        # the reach (separable box filter, O(voxels)), then KD-query only
+        # the shell (typically ~10-20% of the grid).
+        occupied = np.zeros((nz, ny, nx), bool)
+        cell = np.clip(np.round((centers - gmin) * inv_res).astype(np.int64),
+                       0, [nx - 1, ny - 1, nz - 1])
+        occupied[cell[:, 2], cell[:, 1], cell[:, 0]] = True
+        shell = maximum_filter(occupied, size=2 * reach_cells + 1)
+        zz, yy, xx = np.nonzero(shell)
+        if xx.size:
+            pts = np.stack([
+                gmin[0] + xx * resolution,
+                gmin[1] + yy * resolution,
+                gmin[2] + zz * resolution,
+            ], axis=1)
+            dist, _ = tree.query(pts, workers=-1,
+                                 distance_upper_bound=sphere_r + max_dist)
+            data[zz, yy, xx] = np.clip(
+                dist - sphere_r, -max_dist, max_dist).astype(np.float32)
+    else:
+        # Mixed radii (atom pass): bounded per-sphere box splat.
+        xs = gmin[0] + resolution * np.arange(nx)
+        ys = gmin[1] + resolution * np.arange(ny)
+        zs = gmin[2] + resolution * np.arange(nz)
+        for (cx, cy, cz), r in zip(centers, radii):
+            sphere_r = r + probe_radius
+            reach = sphere_r + max_dist + resolution
+            ix0 = max(0, int(np.floor((cx - reach - gmin[0]) * inv_res)))
+            ix1 = min(nx - 1, int(np.ceil((cx + reach - gmin[0]) * inv_res)))
+            iy0 = max(0, int(np.floor((cy - reach - gmin[1]) * inv_res)))
+            iy1 = min(ny - 1, int(np.ceil((cy + reach - gmin[1]) * inv_res)))
+            iz0 = max(0, int(np.floor((cz - reach - gmin[2]) * inv_res)))
+            iz1 = min(nz - 1, int(np.ceil((cz + reach - gmin[2]) * inv_res)))
+            if ix1 < ix0 or iy1 < iy0 or iz1 < iz0:
+                continue
+            dx2 = (xs[ix0:ix1 + 1] - cx) ** 2
+            dy2 = (ys[iy0:iy1 + 1] - cy) ** 2
+            dz2 = (zs[iz0:iz1 + 1] - cz) ** 2
+            dist = np.sqrt(
+                dz2[:, None, None] + dy2[None, :, None] + dx2[None, None, :]
+            ) - sphere_r
+            np.minimum(
+                data[iz0:iz1 + 1, iy0:iy1 + 1, ix0:ix1 + 1],
+                np.clip(dist, -max_dist, max_dist).astype(np.float32),
+                out=data[iz0:iz1 + 1, iy0:iy1 + 1, ix0:ix1 + 1],
+            )
 
     return DistanceGrid(
-        data=data.astype(np.float32),
+        data=data,
         grid_min=gmin.astype(np.float32),
         resolution=resolution,
         max_dist=max_dist,
@@ -165,11 +201,30 @@ def _gradient_normals(grid: DistanceGrid, points: np.ndarray) -> np.ndarray:
 
 
 def marching_cubes(grid: DistanceGrid, isovalue: float = 0.0,
-                   smooth_normals: bool = False):
+                   smooth_normals: bool = False, backend: str = "auto",
+                   verts_only: bool = False):
     """Vectorized marching cubes. Returns (vertices f32[V,3],
     normals f32[V,3], indices u32[T,3]). Vertices on shared edges are
     emitted once (global edge identity, equivalent to the reference's
-    edge-vertex cache)."""
+    edge-vertex cache).
+
+    backend="auto" runs on the accelerator (ops/marching.py) when one is
+    available — the cell sweep is ~30x the single-core numpy rate there —
+    and falls back to the numpy path on CPU-only hosts."""
+    if backend == "auto":
+        import jax
+
+        backend = "device" if jax.default_backend() not in ("cpu",) else "numpy"
+    if backend == "device":
+        from ..ops.marching import marching_cubes_device
+
+        v, n, idx = marching_cubes_device(
+            grid.data, grid.grid_min, grid.resolution, grid.max_dist, isovalue,
+            verts_only=verts_only)
+        if smooth_normals and idx.size:
+            n = _smooth_normals(v, n, idx)
+        return v, n, idx
+
     data = grid.data.astype(np.float64)
     nz, ny, nx = data.shape
     if nx < 2 or ny < 2 or nz < 2:
@@ -286,27 +341,18 @@ def _smooth_normals(vertices, normals, indices):
 
 
 def _connected_components(vertex_count: int, indices: np.ndarray) -> np.ndarray:
-    parent = np.arange(vertex_count, dtype=np.int64)
+    """Vertex connected-component labels over triangle adjacency (sparse
+    graph; the reference's union-find, surface_webgl.js:907-936)."""
+    from scipy import sparse
+    from scipy.sparse.csgraph import connected_components
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for tri in indices:
-        a, b, c = int(tri[0]), int(tri[1]), int(tri[2])
-        ra, rb, rc = find(a), find(b), find(c)
-        if ra != rb:
-            parent[ra] = rb
-        rc2 = find(c)
-        rb2 = find(b)
-        if rb2 != rc2:
-            parent[rb2] = rc2
-    roots = np.array([find(i) for i in range(vertex_count)])
-    _, comp = np.unique(roots, return_inverse=True)
+    rows = np.concatenate([indices[:, 0], indices[:, 1]])
+    cols = np.concatenate([indices[:, 1], indices[:, 2]])
+    graph = sparse.coo_matrix(
+        (np.ones(rows.shape[0], np.int8), (rows, cols)),
+        shape=(vertex_count, vertex_count),
+    )
+    _, comp = connected_components(graph, directed=False)
     return comp
 
 
@@ -365,7 +411,8 @@ def compute_ses(
         centers, radii, bounds_min, bounds_max, resolution, probe_radius,
         max_dist, padding,
     )
-    sas_v, sas_n, sas_i = marching_cubes(sas_grid, 0.0, smooth_normals)
+    sas_v, sas_n, sas_i = marching_cubes(sas_grid, 0.0, smooth_normals,
+                                         verts_only=not sas)
     if sas or sas_v.shape[0] == 0:
         return sas_v, sas_n, sas_i
 
