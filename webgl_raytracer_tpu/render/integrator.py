@@ -630,6 +630,28 @@ def _hit_first_permutation(hit):
     return perm, inv
 
 
+# Compaction granularity: rays move between chunks in contiguous blocks of
+# this size. Per-lane permutation gathers are random access — the TPU's
+# slow path, measured ~250ms/frame at 1080p — while whole-block moves are
+# contiguous DMA rows. The renderer's pixel order is 16x16 screen tiles, so
+# hits are coherent at this granularity anyway.
+_PERM_BLOCK = 256
+
+
+def _tile_permutation(hit, g):
+    """Block-granular stable partition: g-ray blocks containing any hit come
+    first, all-miss blocks after. Returns ([T] perm, [T] inv) over blocks."""
+    t = hit.shape[0] // g
+    block_hit = jnp.any(hit.reshape(t, g), axis=1)
+    hit_i = block_hit.astype(jnp.int32)
+    n_hit = jnp.sum(hit_i)
+    pos_hit = jnp.cumsum(hit_i) - 1
+    pos_miss = n_hit + jnp.cumsum(1 - hit_i) - 1
+    inv = jnp.where(block_hit, pos_hit, pos_miss)
+    perm = jnp.zeros(t, jnp.int32).at[inv].set(jnp.arange(t, dtype=jnp.int32))
+    return perm, inv
+
+
 def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
                      with_stats=False):
     """One full path-traced sample for every pixel, with hit-first
@@ -647,11 +669,17 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
                            with_stats=with_stats)
 
     rec0 = _closest_hit(scene, flags, origin, direction, u.t_min, clip)
-    perm, inv = _hit_first_permutation(rec0.prim_type >= 0)
+    size = n // chunks
+    g = _PERM_BLOCK if (n % _PERM_BLOCK == 0 and size % _PERM_BLOCK == 0) else 1
+    if g > 1:
+        perm, inv = _tile_permutation(rec0.prim_type >= 0, g)
+        gather = lambda a: a.reshape((n // g, g) + a.shape[1:])[perm].reshape(a.shape)
+    else:
+        perm, inv = _hit_first_permutation(rec0.prim_type >= 0)
+        gather = lambda a: a[perm]
 
     state = (seed,) + origin + direction + tuple(rec0)
-    state = tuple(a[perm] for a in state)
-    size = n // chunks
+    state = tuple(gather(a) for a in state)
     state = tuple(a.reshape((chunks, size) + a.shape[1:]) for a in state)
 
     from ..ops.traversal import HitRecord
@@ -669,14 +697,19 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         radiance, seed_o = out
         return V.to_array(radiance)
 
+    if g > 1:
+        unperm = lambda c: c.reshape(n // g, g, 3)[inv].reshape(n, 3)
+    else:
+        unperm = lambda c: c[inv]
+
     out = jax.lax.map(chunk_fn, state)
     if with_stats:
         colors, nrays = out
         # The primary traversal itself counted n rays before compaction.
         total_rays = jnp.sum(nrays)
-        colors = colors.reshape(n, 3)[inv]
+        colors = unperm(colors.reshape(n, 3))
         return V.from_array(colors), seed, total_rays
-    colors = out.reshape(n, 3)[inv]
+    colors = unperm(out.reshape(n, 3))
     return V.from_array(colors), seed
 
 
