@@ -1,0 +1,82 @@
+"""Pallas sphere-traversal kernel vs the XLA dense sweep (interpret mode;
+the real-TPU path is exercised by bench.py and the CLI)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from webgl_raytracer_tpu.models.molecular import Geometry
+from webgl_raytracer_tpu.scene import compile_scene
+import webgl_raytracer_tpu.ops.pallas_sphere as PS
+import webgl_raytracer_tpu.ops.wavefront as W
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    rng = np.random.default_rng(11)
+    n = 400
+    centers = (rng.random((n, 3)).astype(np.float32) - 0.5) * 14
+    radii = (0.15 + rng.random(n) * 0.3).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    return compile_scene(Geometry(centers, radii, colors, z3, z3, z1, z3))
+
+
+@pytest.fixture(scope="module")
+def rays():
+    rng = np.random.default_rng(5)
+    n = 1500   # not a BLOCK multiple: exercises padding
+    o = rng.normal(size=(3, n)).astype(np.float32) * 3
+    o[2] += 12
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d[2] -= 1.5
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    o3 = tuple(jnp.asarray(o[i]) for i in range(3))
+    d3 = tuple(jnp.asarray(d[i]) for i in range(3))
+    return o3, d3, jnp.full((n,), np.float32(1e-3))
+
+
+def test_supports(sphere_scene):
+    assert PS.supports(sphere_scene, None)
+    assert not PS.supports(sphere_scene, (0.0, 0.0, 1.0, 5.0))
+
+
+def test_closest_matches_dense(sphere_scene, rays):
+    o3, d3, tmin = rays
+    rec = W._dense_trace(sphere_scene, o3, d3, tmin, None, any_hit=False,
+                         accept_min=None, t_max=None, active=None)
+    ct, cr = PS.trace_closest(sphere_scene, o3, d3, tmin, interpret=True)
+    dhit = np.asarray(rec.prim_type >= 0)
+    phit = np.asarray(cr) >= 0
+    # Tangency rounding may flip isolated rays; require near-total agreement.
+    assert (dhit == phit).mean() > 0.999
+    both = dhit & phit
+    rec_p = W._finalize_hit(sphere_scene, o3, d3, tmin, None,
+                            jnp.asarray(ct), jnp.asarray(cr),
+                            cost=jnp.zeros(tmin.shape, jnp.int32))
+    same = np.asarray(rec_p.prim_local)[both] == np.asarray(rec.prim_local)[both]
+    assert same.mean() > 0.999
+    t_ref = np.asarray(rec.t)[both][same]
+    t_new = np.asarray(ct)[both][same]
+    assert np.abs(t_new - t_ref).max() <= 1e-3 * np.maximum(t_ref, 1.0).max()
+
+
+def test_any_matches_dense(sphere_scene, rays):
+    o3, d3, tmin = rays
+    lo = jnp.full(tmin.shape, 0.01)
+    fd = W._dense_trace(sphere_scene, o3, d3, tmin, None, any_hit=True,
+                        accept_min=lo, t_max=30.0, active=None)
+    fp = PS.trace_any(sphere_scene, o3, d3, tmin, t_max=30.0, accept_min=lo,
+                      interpret=True)
+    assert (np.asarray(fd) == np.asarray(fp)).mean() > 0.999
+
+
+def test_active_mask(sphere_scene, rays):
+    o3, d3, tmin = rays
+    act = jnp.arange(tmin.shape[0]) % 2 == 0
+    ct, cr = PS.trace_closest(sphere_scene, o3, d3, tmin, active=act,
+                              interpret=True)
+    assert np.all(np.asarray(cr)[~np.asarray(act)] == -1)
+    fp = PS.trace_any(sphere_scene, o3, d3, tmin, active=act, interpret=True)
+    assert not np.asarray(fp)[~np.asarray(act)].any()

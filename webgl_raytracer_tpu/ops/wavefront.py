@@ -784,13 +784,49 @@ def _wf_trace_flat(scene, o3, d3, t_min, clip, any_hit, accept_min,
                          best_row, cost=cost)
 
 
+def _pallas_auto(scene, clip, use_pallas):
+    """Route sphere-only scenes through the fused Pallas kernel on TPU
+    (ops/pallas_sphere.py). jax.default_backend() is resolved at trace
+    time, so CPU tests and the virtual-device mesh keep the XLA path."""
+    if not use_pallas:
+        return False
+    from . import pallas_sphere as PS
+
+    return PS.supports(scene, clip) and jax.default_backend() == "tpu"
+
+
 def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
-                        max_iters: int = 4096) -> HitRecord:
+                        max_iters: int = 4096, use_pallas: bool = True) -> HitRecord:
     """Closest hit via the cluster wavefront; rays as component triples.
     prim_slot indexes the padded cluster table ([K*C, 12])."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
     n = o3[0].shape[0]
     k = scene.num_clusters
+    if _pallas_auto(scene, clip, use_pallas):
+        from . import pallas_sphere as PS
+
+        closest, best_row = PS.trace_closest(scene, o3, d3, t_min,
+                                             active=active)
+        # Recompute the winner's t with the exact (o - c) quadratic — one
+        # [B]-wide pass that removes the kernel's expanded-form rounding,
+        # so hit positions match the XLA path to f32 ulps.
+        flat = scene.cluster_prims.reshape(-1, 12)
+        row = flat[jnp.maximum(best_row, 0)]
+        sx = o3[0] - row[:, 0]
+        sy = o3[1] - row[:, 1]
+        sz = o3[2] - row[:, 2]
+        b = sx * d3[0] + sy * d3[1] + sz * d3[2]
+        cterm = sx * sx + sy * sy + sz * sz - row[:, 3] * row[:, 3]
+        disc = b * b - cterm
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        ts = jnp.where(t0 > t_min, t0, t1)
+        hit = (best_row >= 0) & (disc >= 0.0) & (ts > t_min)
+        closest = jnp.where(hit, ts, closest)
+        return _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row,
+                             cost=jnp.full((n,), k * scene.cluster_size,
+                                           jnp.int32))
     if k <= DENSE_MAX_CLUSTERS or n % TILE != 0 or n < TILE:
         if k <= TILE_MAX_CLUSTERS:
             return _dense_trace(scene, o3, d3, t_min, clip,
@@ -806,10 +842,16 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
 
 
 def wf_trace_any_v3(scene, o3, d3, t_min, t_max=BIG, accept_min=None,
-                    clip=None, active=None, max_iters: int = 4096):
+                    clip=None, active=None, max_iters: int = 4096,
+                    use_pallas: bool = True):
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
     n = o3[0].shape[0]
     k = scene.num_clusters
+    if _pallas_auto(scene, clip, use_pallas):
+        from . import pallas_sphere as PS
+
+        return PS.trace_any(scene, o3, d3, t_min, t_max=t_max,
+                            accept_min=accept_min, active=active)
     if k <= DENSE_MAX_CLUSTERS or n % TILE != 0 or n < TILE:
         if k <= TILE_MAX_CLUSTERS:
             return _dense_trace(scene, o3, d3, t_min, clip,

@@ -59,7 +59,11 @@ def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None):
     lane in this (chunked, screen-coherent) batch is live."""
     def run(_):
         if flags.tracer == "wavefront":
-            return wf_trace_closest_v3(scene, o3, d3, t_min, clip, active=active)
+            # Distributed renders keep the pure-XLA path: pallas_call does
+            # not GSPMD-partition across a mesh.
+            return wf_trace_closest_v3(scene, o3, d3, t_min, clip,
+                                       active=active,
+                                       use_pallas=not flags.distributed)
         return _traverse(
             scene, jnp.stack(o3, -1), jnp.stack(d3, -1), t_min, clip,
             any_hit=False, accept_min=None, t_max=None,
@@ -90,7 +94,9 @@ def _any_hit(scene, flags, o3, d3, t_min, clip, accept_min=None,
     def run(_):
         if flags.tracer == "wavefront":
             return wf_trace_any_v3(scene, o3, d3, t_min, t_max=t_max,
-                                   accept_min=accept_min, clip=clip, active=active)
+                                   accept_min=accept_min, clip=clip,
+                                   active=active,
+                                   use_pallas=not flags.distributed)
         return _traverse(
             scene, jnp.stack(o3, -1), jnp.stack(d3, -1), t_min, clip,
             any_hit=True, accept_min=accept_min, t_max=t_max,
