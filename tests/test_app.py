@@ -242,3 +242,28 @@ class TestMaterialModes:
         assert MATERIAL_MODES["matte"] == 1
         assert MATERIAL_MODES["surface-glass"] == 2
         assert MATERIAL_MODES["translucent-plastic"] == 3
+
+
+def test_render_scale_interactive():
+    """renderScale + the 0.25 interactive preview (main.js:149-151): inputs
+    drop the internal resolution; frames settle back to full scale."""
+    from webgl_raytracer_tpu.app.server import ViewerState
+    from webgl_raytracer_tpu.app.pipeline import load_random_spheres
+    from webgl_raytracer_tpu.render import Renderer
+
+    loaded = load_random_spheres(30)
+    r = Renderer(loaded.scene, width=128, height=96)
+    r.settings.max_frames = 10 ** 9
+    state = ViewerState(r)
+    state.SETTLE_SECONDS = 0.0
+
+    r.set_scale(0.5)
+    assert (r.width, r.height) == (64, 48)
+    r.set_scale(1.0)
+    assert (r.width, r.height) == (128, 96)
+
+    state.orbit(5.0, 0.0)
+    assert r.width < 128  # dropped to fast_scale
+    png = state.frame_png()  # settle back (SETTLE_SECONDS=0) + upsample
+    assert png[:4] == b"\x89PNG"
+    assert (r.width, r.height) == (128, 96)

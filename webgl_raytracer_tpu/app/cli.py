@@ -77,6 +77,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--vis", type=int, default=0, choices=(0, 1, 2, 3),
                    help="0 render, 1 normals, 2 traversal cost, 3 depth")
     p.add_argument("--tracer", default="wavefront", choices=("wavefront", "stack"))
+    p.add_argument("--render-scale", type=float, default=1.0,
+                   help="internal render resolution scale (renderScale)")
+    p.add_argument("--fast-scale", type=float, default=0.25,
+                   help="interactive preview scale used by `serve`")
     p.add_argument("--orbit", type=float, nargs=2, metavar=("DX", "DY"),
                    default=None, help="initial orbit drag in pixels")
 
@@ -131,6 +135,8 @@ def _make_renderer(args, loaded, logger) -> Renderer:
         dof_aperture=args.aperture,
         vis_mode=args.vis,
         tracer=args.tracer,
+        render_scale=args.render_scale,
+        fast_scale=args.fast_scale,
         volume_enabled=loaded.volume is not None,
     )
     # The reference app always has an environment bound; its default is the
@@ -147,6 +153,8 @@ def _make_renderer(args, loaded, logger) -> Renderer:
     volume = loaded.volume.to_device_buffers() if loaded.volume is not None else None
     r = Renderer(loaded.scene, settings=settings, env=env, volume=volume,
                  width=args.width, height=args.height)
+    if args.render_scale != 1.0:
+        r.set_scale(args.render_scale)
     if args.focus is not None:
         r.settings.dof_focus_distance = args.focus
     elif args.dof:

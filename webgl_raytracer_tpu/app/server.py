@@ -75,19 +75,47 @@ window.addEventListener('keydown', async e => {
 
 
 class ViewerState:
+    # Seconds after the last camera/settings input before the renderer
+    # returns from the interactive fast_scale to the full render_scale
+    # (the reference drops to 0.25x while dragging, main.js:149-151).
+    SETTLE_SECONDS = 0.6
+
     def __init__(self, renderer, logger=None):
         self.renderer = renderer
         self.logger = logger
         self.lock = threading.Lock()
+        self._last_input = 0.0
+
+    def _interactive(self) -> None:
+        """Mark a camera/settings input: drop to the fast preview scale."""
+        import time
+
+        self._last_input = time.monotonic()
+        s = self.renderer.settings
+        if s.fast_scale < s.render_scale:
+            self.renderer.set_scale(s.fast_scale)
+
+    def _maybe_settle(self) -> None:
+        import time
+
+        s = self.renderer.settings
+        if (self.renderer.scale != s.render_scale
+                and time.monotonic() - self._last_input > self.SETTLE_SECONDS):
+            self.renderer.set_scale(s.render_scale)
 
     def frame_png(self) -> bytes:
         from PIL import Image
 
         with self.lock:
+            self._maybe_settle()
             self.renderer.render_frame()
             img = self.renderer.image_u8()
+        im = Image.fromarray(img, "RGB")
+        r = self.renderer
+        if (r.width, r.height) != (r.base_width, r.base_height):
+            im = im.resize((r.base_width, r.base_height), Image.NEAREST)
         buf = io.BytesIO()
-        Image.fromarray(img, "RGB").save(buf, "PNG")
+        im.save(buf, "PNG")
         return buf.getvalue()
 
     def state(self) -> dict:
@@ -108,11 +136,13 @@ class ViewerState:
     def orbit(self, dx: float, dy: float) -> None:
         with self.lock:
             self.renderer.camera.drag(dx, dy)
+            self._interactive()
             self.renderer.reset_accumulation()
 
     def fly(self, keys, dt: float) -> None:
         with self.lock:
             if self.renderer.camera.fly(keys, dt):
+                self._interactive()
                 self.renderer.reset_accumulation()
 
     def update_settings(self, updates: dict) -> None:
@@ -120,6 +150,7 @@ class ViewerState:
             for key, value in updates.items():
                 if hasattr(self.renderer.settings, key):
                     setattr(self.renderer.settings, key, value)
+            self._interactive()
             self.renderer.reset_accumulation()
 
 

@@ -84,6 +84,9 @@ class Renderer:
             self.volume = volume
         self.width = int(width)
         self.height = int(height)
+        self.base_width = self.width
+        self.base_height = self.height
+        self.scale = 1.0
         self.camera = OrbitCamera(width=self.width, height=self.height)
         self.frame_index = 0
         self._accum = None
@@ -113,6 +116,18 @@ class Renderer:
             self._px = None
             self.reset_accumulation()
         self.camera.width, self.camera.height = self.width, self.height
+
+    def set_scale(self, scale: float) -> None:
+        """Internal render-resolution scale (renderState.renderScale and the
+        0.25 interactive scale, main.js:149-151): the path tracer renders at
+        base x scale and the viewer upsamples for display. Dimensions snap to
+        16-pixel tiles (the renderer's screen-tile granularity); accumulation
+        resets on change."""
+        scale = float(min(2.0, max(0.05, scale)))
+        w = max(16, int(round(self.base_width * scale / 16.0)) * 16)
+        h = max(16, int(round(self.base_height * scale / 16.0)) * 16)
+        self.scale = scale
+        self.resize(w, h)
 
     def _pixel_grids(self):
         """Flat pixel index arrays in 16x16 screen-tile order.
