@@ -42,17 +42,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = np.float32(1e20)
 INF = np.float32(np.inf)
-BLOCK = 1024          # rays per kernel program
+BLOCK = 1024          # rays per kernel program (DMA granularity)
+SUB = 1024            # rays per traversal worklist. Narrower frustums
+                      # overlap fewer clusters but serialize extra worklists
+                      # per program; measured on v5e, one worklist per
+                      # 1024-ray program wins on both scaling scenes.
+SUBS = BLOCK // SUB
 MAX_CLUSTERS = 256    # W1/W2 VMEM budget: 2 * K * 16*128*4B = 4 MB at 256
+EXIT_BOUND = True     # front-to-back early exit for fully-hit sub-blocks
 
 
 def _slab_entry(bb, k, od):
-    """Conservative 1-D [BLOCK] slab test against cluster k's AABB.
+    """Conservative 1-D [SUB] slab test against cluster k's AABB.
     Mirrors ops/wavefront.cluster_entry_t (including the parallel-axis
     inside check) — used only to skip clusters, never to accept hits."""
-    tn = jnp.full((BLOCK,), -BIG)
-    tf = jnp.full((BLOCK,), BIG)
-    ok = jnp.ones((BLOCK,), bool)
+    tn = jnp.full((SUB,), -BIG)
+    tf = jnp.full((SUB,), BIG)
+    ok = jnp.ones((SUB,), bool)
     for axis in range(3):
         o = od[axis]
         d = od[3 + axis]
@@ -89,28 +95,69 @@ def _sphere_ts(a_blk, w1_ref, w2_ref, k):
     return jnp.where(ok & (ts > tmin), ts, -1.0)
 
 
+def _block_entries(num_k, bb_ref, od, t_cap=None):
+    """[1, MAX_CLUSTERS] of each cluster's nearest entry distance over the
+    block's rays (INF if no ray enters it, or if every entering ray's entry
+    exceeds its t_cap). Kept as a loop-carried value — Mosaic has no
+    dynamic single-lane stores — and consumed nearest-first."""
+    kio = jax.lax.broadcasted_iota(jnp.int32, (1, MAX_CLUSTERS), 1)
+
+    def body(k, ev):
+        entry = _slab_entry(bb_ref, k, od)
+        if t_cap is not None:
+            entry = jnp.where(entry < t_cap, entry, INF)
+        return jnp.where(kio == k, jnp.min(entry), ev)
+
+    ev = jax.lax.fori_loop(0, num_k, body,
+                           jnp.full((1, MAX_CLUSTERS), INF, jnp.float32))
+    return ev, kio
+
+
+def _pop_nearest(ev, kio):
+    """(min entry, its cluster index) over the remaining worklist."""
+    m = jnp.min(ev)
+    idx = jnp.min(jnp.where(ev == m, kio, jnp.int32(MAX_CLUSTERS)))
+    return m, idx
+
+
 def _closest_kernel(num_k_ref, a_ref, od_ref, w1_ref, w2_ref, bb_ref,
                     t_out, row_out, bt_ref, bk_ref):
-    a_blk = a_ref[:]
-    od = [od_ref[i, :] for i in range(6)]
     num_k = num_k_ref[0]
     bt_ref[:] = jnp.full((BLOCK, 128), BIG, jnp.float32)
     bk_ref[:] = jnp.zeros((BLOCK, 128), jnp.int32)
 
-    def body(k, _):
-        entry = _slab_entry(bb_ref, k, od)
+    # Each SUB-ray slice runs its own front-to-back worklist: sweep only
+    # clusters some ray in the slice enters, nearest first, and stop once
+    # every ray's closest hit precedes the next cluster's entry (the BVH's
+    # front-to-back early-out, sub-block-granular).
+    for sub in range(SUBS):
+        lo, hi = sub * SUB, (sub + 1) * SUB
+        a_sub = a_ref[lo:hi, :]
+        od = [od_ref[i, lo:hi] for i in range(6)]
+        ev0, kio = _block_entries(num_k, bb_ref, od)
 
-        @pl.when(jnp.any(entry < BIG))
-        def _():
-            ts = _sphere_ts(a_blk, w1_ref, w2_ref, k)
-            bt = bt_ref[:]
+        def cond(carry):
+            return carry[1] < BIG
+
+        def body(carry, lo=lo, hi=hi, a_sub=a_sub, kio=kio):
+            ev, _, k = carry
+            ts = _sphere_ts(a_sub, w1_ref, w2_ref, k)
+            bt = bt_ref[lo:hi, :]
             upd = (ts > 0.0) & (ts < bt)
-            bt_ref[:] = jnp.where(upd, ts, bt)
-            bk_ref[:] = jnp.where(upd, k, bk_ref[:])
+            bt = jnp.where(upd, ts, bt)
+            bt_ref[lo:hi, :] = bt
+            bk_ref[lo:hi, :] = jnp.where(upd, k, bk_ref[lo:hi, :])
+            ev = jnp.where(kio == k, INF, ev)
+            e_next, k_next = _pop_nearest(ev, kio)
+            if EXIT_BOUND:
+                # Farthest per-ray closest hit; rays with no hit keep it at
+                # BIG, so only fully-hit sub-blocks exit early.
+                bound = jnp.max(jnp.min(bt, axis=1))
+                e_next = jnp.where(e_next < bound, e_next, INF)
+            return ev, e_next, k_next
 
-        return 0
-
-    jax.lax.fori_loop(0, num_k, body, 0)
+        e0, k0 = _pop_nearest(ev0, kio)
+        jax.lax.while_loop(cond, body, (ev0, e0, k0))
 
     bt = bt_ref[:]
     tbest = jnp.min(bt, axis=1)
@@ -124,26 +171,37 @@ def _closest_kernel(num_k_ref, a_ref, od_ref, w1_ref, w2_ref, bb_ref,
 
 def _any_kernel(num_k_ref, a_ref, od_ref, w1_ref, w2_ref, bb_ref, found_out,
                 found_ref):
-    a_blk = a_ref[:]
-    od = [od_ref[i, :] for i in range(6)]
-    t_hi = od_ref[6, :]
-    lo_col = a_blk[:, 10:11]
-    hi_col = a_blk[:, 11:12]
     num_k = num_k_ref[0]
     found_ref[:] = jnp.zeros((BLOCK,), jnp.int32)
 
-    def body(k, _):
-        entry = _slab_entry(bb_ref, k, od)
+    for sub in range(SUBS):
+        lo, hi = sub * SUB, (sub + 1) * SUB
+        a_sub = a_ref[lo:hi, :]
+        od = [od_ref[i, lo:hi] for i in range(6)]
+        t_hi = od_ref[6, lo:hi]
+        lo_col = a_sub[:, 10:11]
+        hi_col = a_sub[:, 11:12]
+        ev0, kio = _block_entries(num_k, bb_ref, od, t_cap=t_hi)
 
-        @pl.when(jnp.any(entry < t_hi))
-        def _():
-            ts = _sphere_ts(a_blk, w1_ref, w2_ref, k)
+        def cond(carry):
+            return carry[1] < BIG
+
+        def body(carry, lo=lo, hi=hi, a_sub=a_sub, kio=kio,
+                 lo_col=lo_col, hi_col=hi_col):
+            ev, _, k = carry
+            ts = _sphere_ts(a_sub, w1_ref, w2_ref, k)
             hit = jnp.any((ts > lo_col) & (ts < hi_col), axis=1)
-            found_ref[:] = found_ref[:] | hit.astype(jnp.int32)
+            f = found_ref[lo:hi] | hit.astype(jnp.int32)
+            found_ref[lo:hi] = f
+            ev = jnp.where(kio == k, INF, ev)
+            e_next, k_next = _pop_nearest(ev, kio)
+            # Occlusion queries stop once every ray is shadowed.
+            e_next = jnp.where(jnp.min(f) > 0, INF, e_next)
+            return ev, e_next, k_next
 
-        return 0
+        e0, k0 = _pop_nearest(ev0, kio)
+        jax.lax.while_loop(cond, body, (ev0, e0, k0))
 
-    jax.lax.fori_loop(0, num_k, body, 0)
     found_out[:] = found_ref[:]
 
 
