@@ -684,17 +684,32 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         perm, inv = _hit_first_permutation(rec0.prim_type >= 0)
         gather = lambda a: a[perm]
 
-    state = (seed,) + origin + direction + tuple(rec0)
+    # Wavefront records reconstruct exactly from (t, prim_slot) via
+    # _finalize_hit, so only 9 scalar lanes move through the permutation
+    # instead of 15; the stack tracer's slots index a different table, so
+    # it keeps the full record.
+    slim = flags.tracer == "wavefront"
+    if slim:
+        state = (seed,) + origin + direction + (rec0.t, rec0.prim_slot)
+    else:
+        state = (seed,) + origin + direction + tuple(rec0)
     state = tuple(gather(a) for a in state)
     state = tuple(a.reshape((chunks, size) + a.shape[1:]) for a in state)
 
     from ..ops.traversal import HitRecord
+    from ..ops.wavefront import _finalize_hit
 
     def chunk_fn(args):
         seed_c = args[0]
         origin_c = args[1:4]
         direction_c = args[4:7]
-        rec_c = HitRecord(*args[7:])
+        if slim:
+            t_c, slot_c = args[7], args[8]
+            tmin_c = jnp.broadcast_to(u.t_min, t_c.shape).astype(jnp.float32)
+            rec_c = _finalize_hit(scene, origin_c, direction_c, tmin_c, clip,
+                                  t_c, slot_c, cost=jnp.zeros_like(slot_c))
+        else:
+            rec_c = HitRecord(*args[7:])
         out = trace_paths(scene, env, vol, flags, u, origin_c, direction_c,
                           seed_c, with_stats=with_stats, first_rec=rec_c)
         if with_stats:
