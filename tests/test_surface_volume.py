@@ -172,3 +172,27 @@ def test_marching_cubes_device_matches_numpy():
         grid.data, grid.grid_min, grid.resolution, grid.max_dist,
         verts_only=True)
     assert np.abs(v0 - v2).max() < 1e-5
+
+
+def test_native_distance_field_matches_numpy():
+    """native/distance_field.cpp must reproduce the numpy splat exactly
+    (same bounded-box min of clamp(|p-c|-r, +-max_dist))."""
+    import webgl_raytracer_tpu.native as N
+
+    if N.load_distance_field() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(2)
+    centers = rng.normal(size=(120, 3)) * 5
+    for radii in (rng.uniform(1.2, 1.9, 120), np.full(120, 1.5)):
+        g_native = compute_distance_field(
+            centers, radii, centers.min(0) - 2, centers.max(0) + 2,
+            0.5, 1.4, 1.0)
+        saved = N._df_lib, N._df_failed
+        N._df_lib, N._df_failed = None, True
+        try:
+            g_numpy = compute_distance_field(
+                centers, radii, centers.min(0) - 2, centers.max(0) + 2,
+                0.5, 1.4, 1.0)
+        finally:
+            N._df_lib, N._df_failed = saved
+        assert np.abs(g_native.data - g_numpy.data).max() < 1e-4
