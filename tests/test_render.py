@@ -114,3 +114,24 @@ class TestVisualization:
         r.reset_accumulation()
         img = r.render(frames=1)
         assert img[8, 8, 0] > 0  # depth channel nonzero at hit
+
+
+def test_use_bvh_false_matches_bvh(primitives_scene_or_none=None):
+    """useBvh=false (brute-force sweep, main.js:154 / webgl.js:1) must
+    produce the identical image."""
+    import jax
+    import numpy as np
+
+    from webgl_raytracer_tpu.app.pipeline import load_test_primitives
+    from webgl_raytracer_tpu.render import Renderer
+
+    loaded = load_test_primitives()
+    imgs = []
+    for use_bvh in (True, False):
+        r = Renderer(loaded.scene, width=64, height=48)
+        r.settings.max_frames = 10 ** 9
+        r.settings.tone_map = "linear"
+        r.settings.use_bvh = use_bvh
+        r.render_frames(2)
+        imgs.append(np.asarray(r.image()))
+    assert np.array_equal(imgs[0], imgs[1])

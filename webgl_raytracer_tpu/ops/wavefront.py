@@ -796,12 +796,18 @@ def _pallas_auto(scene, clip, use_pallas):
 
 
 def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
-                        max_iters: int = 4096, use_pallas: bool = True) -> HitRecord:
+                        max_iters: int = 4096, use_pallas: bool = True,
+                        force_dense: bool = False) -> HitRecord:
     """Closest hit via the cluster wavefront; rays as component triples.
-    prim_slot indexes the padded cluster table ([K*C, 12])."""
+    prim_slot indexes the padded cluster table ([K*C, 12]). force_dense
+    sweeps every cluster with no worklist/kernel — the reference's
+    useBvh=false brute-force mode (webgl.js:1)."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
     n = o3[0].shape[0]
     k = scene.num_clusters
+    if force_dense:
+        return _dense_trace(scene, o3, d3, t_min, clip, any_hit=False,
+                            accept_min=None, t_max=None, active=active)
     if _pallas_auto(scene, clip, use_pallas):
         from . import pallas_sphere as PS
 
@@ -843,10 +849,13 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
 
 def wf_trace_any_v3(scene, o3, d3, t_min, t_max=BIG, accept_min=None,
                     clip=None, active=None, max_iters: int = 4096,
-                    use_pallas: bool = True):
+                    use_pallas: bool = True, force_dense: bool = False):
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
     n = o3[0].shape[0]
     k = scene.num_clusters
+    if force_dense:
+        return _dense_trace(scene, o3, d3, t_min, clip, any_hit=True,
+                            accept_min=accept_min, t_max=t_max, active=active)
     if _pallas_auto(scene, clip, use_pallas):
         from . import pallas_sphere as PS
 

@@ -119,6 +119,9 @@ class StaticFlags:
     vis_mode: int = 0
     rim_enabled: bool = True
     tracer: str = "wavefront"   # "wavefront" (dense cluster) or "stack"
+    # useBvh=false (main.js:154): brute-force every primitive per ray with
+    # no acceleration-structure culling (the reference's BRUTE_FORCE mode).
+    use_bvh: bool = True
     # Multi-chip mode: skip the host-order compaction/chunk scan so the ray
     # axis shards cleanly under GSPMD (no cross-shard permutation).
     distributed: bool = False
@@ -200,6 +203,7 @@ def split_settings(
         vis_mode=int(s.vis_mode),
         rim_enabled=bool(s.rim_boost > 0.0),
         tracer=str(s.tracer),
+        use_bvh=bool(s.use_bvh),
         distributed=bool(distributed),
     )
 

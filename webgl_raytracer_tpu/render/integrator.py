@@ -60,10 +60,12 @@ def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None):
     def run(_):
         if flags.tracer == "wavefront":
             # Distributed renders keep the pure-XLA path: pallas_call does
-            # not GSPMD-partition across a mesh.
+            # not GSPMD-partition across a mesh. use_bvh=False is the
+            # reference's brute-force mode: an unculled dense sweep.
             return wf_trace_closest_v3(scene, o3, d3, t_min, clip,
                                        active=active,
-                                       use_pallas=not flags.distributed)
+                                       use_pallas=not flags.distributed,
+                                       force_dense=not flags.use_bvh)
         return _traverse(
             scene, jnp.stack(o3, -1), jnp.stack(d3, -1), t_min, clip,
             any_hit=False, accept_min=None, t_max=None,
@@ -96,7 +98,8 @@ def _any_hit(scene, flags, o3, d3, t_min, clip, accept_min=None,
             return wf_trace_any_v3(scene, o3, d3, t_min, t_max=t_max,
                                    accept_min=accept_min, clip=clip,
                                    active=active,
-                                   use_pallas=not flags.distributed)
+                                   use_pallas=not flags.distributed,
+                                   force_dense=not flags.use_bvh)
         return _traverse(
             scene, jnp.stack(o3, -1), jnp.stack(d3, -1), t_min, clip,
             any_hit=True, accept_min=accept_min, t_max=t_max,
