@@ -101,9 +101,11 @@ def _block_entries(num_k, bb_ref, od, t_cap=None):
     exceeds its t_cap). Kept as a loop-carried value — Mosaic has no
     dynamic single-lane stores — and consumed nearest-first."""
     kio = jax.lax.broadcasted_iota(jnp.int32, (1, MAX_CLUSTERS), 1)
+    act = od[6]                     # 1.0 live / 0.0 dead (od row 7)
 
     def body(k, ev):
         entry = _slab_entry(bb_ref, k, od)
+        entry = jnp.where(act > 0.0, entry, INF)
         if t_cap is not None:
             entry = jnp.where(entry < t_cap, entry, INF)
         return jnp.where(kio == k, jnp.min(entry), ev)
@@ -133,7 +135,7 @@ def _closest_kernel(num_k_ref, a_ref, od_ref, w1_ref, w2_ref, bb_ref,
     for sub in range(SUBS):
         lo, hi = sub * SUB, (sub + 1) * SUB
         a_sub = a_ref[lo:hi, :]
-        od = [od_ref[i, lo:hi] for i in range(6)]
+        od = [od_ref[i, lo:hi] for i in range(6)] + [od_ref[7, lo:hi]]
         ev0, kio = _block_entries(num_k, bb_ref, od)
 
         def cond(carry):
@@ -177,7 +179,7 @@ def _any_kernel(num_k_ref, a_ref, od_ref, w1_ref, w2_ref, bb_ref, found_out,
     for sub in range(SUBS):
         lo, hi = sub * SUB, (sub + 1) * SUB
         a_sub = a_ref[lo:hi, :]
-        od = [od_ref[i, lo:hi] for i in range(6)]
+        od = [od_ref[i, lo:hi] for i in range(6)] + [od_ref[7, lo:hi]]
         t_hi = od_ref[6, lo:hi]
         lo_col = a_sub[:, 10:11]
         hi_col = a_sub[:, 11:12]
@@ -234,8 +236,9 @@ def _scene_operands(scene):
             bb.astype(jnp.float32), mid)
 
 
-def _ray_operands(o3, d3, t_min, accept_lo, t_hi, mid, n_pad):
-    """A [Np, 16] ray matrix and od [8, Np] 1-D component rows,
+def _ray_operands(o3, d3, t_min, accept_lo, t_hi, mid, n_pad, active=None):
+    """A [Np, 16] ray matrix and od [8, Np] 1-D component rows (row 7 is
+    the activity mask — dead rays drop out of every block worklist),
     zero-padded to the block multiple."""
     n = o3[0].shape[0]
     ox, oy, oz = (o3[i] - mid[i] for i in range(3))
@@ -244,10 +247,11 @@ def _ray_operands(o3, d3, t_min, accept_lo, t_hi, mid, n_pad):
     oo = ox * ox + oy * oy + oz * oz
     one = jnp.ones((n,), jnp.float32)
     zero = jnp.zeros((n,), jnp.float32)
+    act = one if active is None else active.astype(jnp.float32)
     cols = [dx, dy, dz, ox, oy, oz, ddo, oo, one, t_min, accept_lo, t_hi,
             zero, zero, zero, zero]
     a = jnp.stack(cols, axis=1)
-    od = jnp.stack([ox, oy, oz, dx, dy, dz, t_hi, zero], axis=0)
+    od = jnp.stack([ox, oy, oz, dx, dy, dz, t_hi, act], axis=0)
     if n_pad != n:
         a = jnp.concatenate(
             [a, jnp.zeros((n_pad - n, 16), jnp.float32)], axis=0)
@@ -301,7 +305,7 @@ def trace_closest(scene, o3, d3, t_min, active=None, interpret=False):
     n_pad = -(-n // BLOCK) * BLOCK
     w1, w2, bb, mid = _scene_operands(scene)
     a, od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
-                          jnp.full((n,), BIG), mid, n_pad)
+                          jnp.full((n,), BIG), mid, n_pad, active=active)
     t, row = _grid_call(_closest_kernel, n_pad, scene.num_clusters,
                         (jnp.float32, jnp.int32), a, od, w1, w2, bb,
                         interpret)
@@ -325,7 +329,7 @@ def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, active=None,
         lo = jnp.broadcast_to(jnp.asarray(accept_min, jnp.float32), (n,))
     hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     w1, w2, bb, mid = _scene_operands(scene)
-    a, od = _ray_operands(o3, d3, t_min, lo, hi, mid, n_pad)
+    a, od = _ray_operands(o3, d3, t_min, lo, hi, mid, n_pad, active=active)
     (found,) = _grid_call(_any_kernel, n_pad, scene.num_clusters,
                           (jnp.int32,), a, od, w1, w2, bb, interpret)
     found = found[:n] != 0
