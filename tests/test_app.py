@@ -267,3 +267,25 @@ def test_render_scale_interactive():
     png = state.frame_png()  # settle back (SETTLE_SECONDS=0) + upsample
     assert png[:4] == b"\x89PNG"
     assert (r.width, r.height) == (128, 96)
+
+
+def test_server_hover_and_focus():
+    """/hover returns the primitive + overlay rect; /focus sets the DoF
+    focus distance (handleAutofocus + updateHoverBoxOverlay parity)."""
+    from webgl_raytracer_tpu.app.server import ViewerState
+    from webgl_raytracer_tpu.app.pipeline import load_test_primitives
+    from webgl_raytracer_tpu.render import Renderer
+
+    loaded = load_test_primitives()
+    r = Renderer(loaded.scene, width=160, height=120)
+    state = ViewerState(r)
+
+    h = state.hover(80, 60)  # center of frame: the primitives scene hits
+    assert h is not None and h["t"] > 0 and h["rect"] is not None
+    assert h["label"].split()[0] in ("sphere", "cylinder", "triangle")
+
+    d = state.focus(80, 60)
+    assert d is not None and abs(d - h["t"]) < 1.0
+    assert abs(r.settings.dof_focus_distance - d) < 1e-6
+
+    assert state.hover(1, 1) is None  # corner: background

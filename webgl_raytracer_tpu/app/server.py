@@ -10,6 +10,8 @@ Endpoints:
   POST /orbit       {"dx": px, "dy": px} orbit drag (resets accumulation)
   POST /fly         {"keys": ["w",...], "dt": seconds}
   POST /settings    partial RenderSettings update (resets accumulation)
+  GET  /hover?x=&y= hover pick: primitive label + projected AABB rect
+  POST /focus       {"x","y"} click-to-focus (sets dof_focus_distance)
 
 Implemented on the stdlib HTTP server so it runs with zero extra
 dependencies; `asgi_app(renderer)` wraps the same handlers for uvicorn
@@ -31,10 +33,18 @@ VIEWER_HTML = """<!DOCTYPE html>
  body { background:#111; color:#ddd; font-family:monospace; margin:16px; }
  #frame { border:1px solid #444; cursor:grab; image-rendering:pixelated; }
  #status { margin-top:8px; white-space:pre; }
+ #wrap { position:relative; display:inline-block; }
+ #hoverbox { position:absolute; border:1px solid #7fc9ff; pointer-events:none;
+             display:none; }
+ #hoverlabel { position:absolute; color:#7fc9ff; font-size:11px;
+               pointer-events:none; display:none; }
 </style></head>
 <body>
 <h3>webgl_raytracer_tpu</h3>
+<div id="wrap">
 <img id="frame" src="/frame.png" draggable="false">
+<div id="hoverbox"></div><div id="hoverlabel"></div>
+</div>
 <div id="status"></div>
 <script>
 const img = document.getElementById('frame');
@@ -60,6 +70,37 @@ window.addEventListener('pointermove', async e => {
   const dx = e.clientX - lastX, dy = e.clientY - lastY;
   lastX = e.clientX; lastY = e.clientY;
   if (dx || dy) await fetch('/orbit', {method:'POST', body: JSON.stringify({dx, dy})});
+});
+const hoverbox = document.getElementById('hoverbox');
+const hoverlabel = document.getElementById('hoverlabel');
+let moved = false, hoverTimer = null;
+img.addEventListener('pointermove', e => {
+  if (dragging) { moved = true; return; }
+  clearTimeout(hoverTimer);
+  const rect = img.getBoundingClientRect();
+  const x = e.clientX - rect.left, y = e.clientY - rect.top;
+  hoverTimer = setTimeout(async () => {
+    const h = await (await fetch(`/hover?x=${x}&y=${y}`)).json();
+    if (h && h.rect) {
+      hoverbox.style.display = 'block';
+      hoverbox.style.left = h.rect.x + 'px';
+      hoverbox.style.top = h.rect.y + 'px';
+      hoverbox.style.width = h.rect.w + 'px';
+      hoverbox.style.height = h.rect.h + 'px';
+      hoverlabel.style.display = 'block';
+      hoverlabel.style.left = h.rect.x + 'px';
+      hoverlabel.style.top = (h.rect.y - 14) + 'px';
+      hoverlabel.textContent = h.label + '  t=' + h.t.toFixed(2);
+    } else { hoverbox.style.display = 'none'; hoverlabel.style.display = 'none'; }
+  }, 60);
+});
+img.addEventListener('click', async e => {
+  if (moved) { moved = false; return; }
+  const rect = img.getBoundingClientRect();
+  const x = e.clientX - rect.left, y = e.clientY - rect.top;
+  const f = await (await fetch('/focus', {method:'POST',
+      body: JSON.stringify({x, y})})).json();
+  if (f.focus != null) status.textContent = 'focus -> ' + f.focus.toFixed(2);
 });
 window.addEventListener('keydown', async e => {
   const k = e.key.toLowerCase();
@@ -145,6 +186,50 @@ class ViewerState:
                 self._interactive()
                 self.renderer.reset_accumulation()
 
+    def _display_to_render(self, x: float, y: float):
+        """Display (base-size) pixel -> current internal-resolution pixel
+        (the preview renders at a scaled size)."""
+        r = self.renderer
+        return (x * r.width / r.base_width, y * r.height / r.base_height)
+
+    def hover(self, x: float, y: float):
+        """Hover query: primitive label + world AABB + projected canvas
+        rect in display coordinates (updateHoverBoxOverlay,
+        main.js:1436-1459)."""
+        from ..render.picking import hover_at_pixel
+
+        with self.lock:
+            r = self.renderer
+            hx, hy = self._display_to_render(x, y)
+            h = hover_at_pixel(r, hx, hy)
+            if h is None:
+                return None
+            sx = r.base_width / r.width
+            sy = r.base_height / r.height
+            rect = None
+            if h.rect is not None:
+                rect = {"x": h.rect["min_x"] * sx, "y": h.rect["min_y"] * sy,
+                        "w": h.rect["width"] * sx, "h": h.rect["height"] * sy}
+            return {
+                "label": h.label,
+                "t": float(h.hit.t),
+                "prim_type": int(h.hit.prim_type),
+                "prim_index": int(h.hit.prim_index),
+                "rect": rect,
+            }
+
+    def focus(self, x: float, y: float):
+        """Click-to-focus: set dof_focus_distance to the hit distance
+        (handleAutofocus, main.js:1489-1514)."""
+        from ..render.picking import autofocus_at_pixel
+
+        with self.lock:
+            hx, hy = self._display_to_render(x, y)
+            d = autofocus_at_pixel(self.renderer, hx, hy)
+            if d is not None:
+                self.renderer.reset_accumulation()
+            return d
+
     def update_settings(self, updates: dict) -> None:
         with self.lock:
             for key, value in updates.items():
@@ -165,7 +250,16 @@ def _make_handler(state: ViewerState):
             self.wfile.write(body)
 
         def do_GET(self):
-            path = self.path.split("?")[0]
+            from urllib.parse import parse_qs, urlparse
+
+            parsed = urlparse(self.path)
+            path = parsed.path
+            if path == "/hover":
+                q = parse_qs(parsed.query)
+                h = state.hover(float(q.get("x", ["0"])[0]),
+                                float(q.get("y", ["0"])[0]))
+                self._send(200, json.dumps(h).encode())
+                return
             if path == "/":
                 self._send(200, VIEWER_HTML.encode(), "text/html; charset=utf-8")
             elif path == "/frame.png":
@@ -189,6 +283,11 @@ def _make_handler(state: ViewerState):
                 state.fly(body.get("keys", []), float(body.get("dt", 0.016)))
             elif path == "/settings":
                 state.update_settings(body)
+            elif path == "/focus":
+                d = state.focus(float(body.get("x", 0)), float(body.get("y", 0)))
+                self._send(200, json.dumps(
+                    {"focus": None if d is None else float(d)}).encode())
+                return
             else:
                 self._send(404, b'{"error": "not found"}')
                 return
