@@ -100,7 +100,10 @@ def _load_scene(args, logger):
         mol = get_builtin_molecule(args.molecule)
     elif args.pdb_file:
         with open(args.pdb_file, "r", encoding="utf-8", errors="replace") as f:
-            mol = parse_auto_detect(f.read(), args.pdb_file)
+            try:
+                mol = parse_auto_detect(f.read(), args.pdb_file)
+            except ValueError as exc:
+                raise SystemExit(f"failed to parse {args.pdb_file}: {exc}")
     elif args.pdb_id:
         mol = fetch_pdb(args.pdb_id)
     else:

@@ -196,7 +196,7 @@ def parse_pdb(text: str) -> MolData:
     sheets: list[SecondaryRange] = []
     serial_to_index: dict[int, int] = {}
 
-    for line in text.split("\n"):
+    for line_no, line in enumerate(text.split("\n"), 1):
         record = line[0:6].strip()
         if record == "HELIX":
             rng = _parse_secondary(line, "HELIX")
@@ -209,9 +209,16 @@ def parse_pdb(text: str) -> MolData:
         elif record in ("ATOM", "HETATM"):
             serial = _parse_int(line[6:11]) or 0
             name = line[12:16].strip()
-            x = float(line[30:38])
-            y = float(line[38:46])
-            z = float(line[46:54])
+            try:
+                x = float(line[30:38])
+                y = float(line[38:46])
+                z = float(line[46:54])
+            except ValueError as exc:
+                raise ValueError(
+                    f"PDB line {line_no}: malformed coordinate columns "
+                    f"30-54 ({line[30:54]!r}) — fixed-column ATOM records "
+                    f"require coordinates within -999.999..9999.999"
+                ) from exc
             occ_raw = line[54:60].strip()
             res_seq = _parse_int(line[22:26])
 
