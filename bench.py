@@ -34,6 +34,10 @@ def random_sphere_geometry(count: int):
 def main() -> None:
     import jax
 
+    from webgl_raytracer_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from webgl_raytracer_tpu.render import Renderer
     from webgl_raytracer_tpu.render.config import split_settings
     from webgl_raytracer_tpu.render.integrator import render_batch_stats

@@ -283,6 +283,9 @@ def cmd_info(args) -> int:
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="webgl_raytracer_tpu",
         description="TPU-native molecular path tracer",
