@@ -72,7 +72,7 @@ def main() -> None:
     r.render_frames(frames)
     jax.block_until_ready(r._accum)
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         r.render_frames(frames)
         jax.block_until_ready(r._accum)

@@ -342,6 +342,13 @@ def asgi_app(renderer, logger=None):
                 await respond(200, state.frame_png(), "image/png")
             elif path == "/state":
                 await respond(200, json.dumps(state.state()).encode())
+            elif path == "/hover":
+                from urllib.parse import parse_qs
+
+                q = parse_qs(scope.get("query_string", b"").decode())
+                h = state.hover(float(q.get("x", ["0"])[0]),
+                                float(q.get("y", ["0"])[0]))
+                await respond(200, json.dumps(h).encode())
             else:
                 await respond(404, b'{"error": "not found"}')
         elif method == "POST":
@@ -362,6 +369,11 @@ def asgi_app(renderer, logger=None):
                 state.fly(data.get("keys", []), float(data.get("dt", 0.016)))
             elif path == "/settings":
                 state.update_settings(data)
+            elif path == "/focus":
+                d = state.focus(float(data.get("x", 0)), float(data.get("y", 0)))
+                await respond(200, json.dumps(
+                    {"focus": None if d is None else float(d)}).encode())
+                return
             else:
                 await respond(404, b'{"error": "not found"}')
                 return

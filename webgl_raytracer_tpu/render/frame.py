@@ -130,19 +130,33 @@ class Renderer:
         self.resize(w, h)
 
     def _pixel_grids(self):
-        """Flat pixel index arrays in 16x16 screen-tile order.
+        """Flat pixel index arrays in Morton-ordered 16x16 screen tiles.
 
         Tile order makes each consecutive block of 256 rays screen-
         coherent, which is what the tile-wavefront tracer exploits
-        (ops/wavefront.py TILE). `_unperm` maps ray order back to row-major
-        image order at readout."""
+        (ops/wavefront.py TILE). Tiles themselves follow a Morton (Z-order)
+        curve so any power-of-two run of consecutive tiles covers a
+        compact square — a traversal kernel block of 4 tiles is a 32x32
+        pixel frustum instead of a 64x16 strip, overlapping fewer
+        clusters. `_unperm` maps ray order back to row-major image order
+        at readout."""
         if self._px is None:
             w, h = self.width, self.height
             yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
             tile_y = yy // 16
             tile_x = xx // 16
+            # Interleave tile-coordinate bits (16-bit coords are plenty).
+            def _spread(v):
+                v = v.astype(np.uint64)
+                v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+                v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+                v = (v | (v << 2)) & np.uint64(0x33333333)
+                v = (v | (v << 1)) & np.uint64(0x55555555)
+                return v
+
+            morton = _spread(tile_x) | (_spread(tile_y) << np.uint64(1))
             order = np.lexsort((xx.ravel(), yy.ravel() % 16,
-                                tile_x.ravel(), tile_y.ravel()))
+                                morton.ravel()))
             xs = xx.ravel()[order].astype(np.uint32)
             ys_img = yy.ravel()[order]
             inverse = np.empty(w * h, np.int64)
