@@ -7,7 +7,7 @@ import pytest
 
 from webgl_raytracer_tpu.models.molecular import Geometry
 from webgl_raytracer_tpu.scene import compile_scene
-import webgl_raytracer_tpu.ops.pallas_sphere as PS
+import webgl_raytracer_tpu.ops.pallas_trace as PS
 import webgl_raytracer_tpu.ops.wavefront as W
 
 
@@ -80,3 +80,47 @@ def test_active_mask(sphere_scene, rays):
     assert np.all(np.asarray(cr)[~np.asarray(act)] == -1)
     fp = PS.trace_any(sphere_scene, o3, d3, tmin, active=act, interpret=True)
     assert not np.asarray(fp)[~np.asarray(act)].any()
+
+
+@pytest.fixture(scope="module")
+def mixed_scene():
+    """Ball-and-stick molecule (spheres + cylinders) + a few triangles."""
+    from webgl_raytracer_tpu.models import get_builtin_molecule, molecule_to_geometry
+
+    geo = molecule_to_geometry(get_builtin_molecule("caffeine"))
+    tv = np.array([
+        [[-4, -3.0, -4], [4, -3.0, -4], [0, -3.0, 4]],
+        [[-4, 3.0, -4], [0, 3.0, 4], [4, 3.0, -4]],
+    ], np.float32)
+    return compile_scene(geo, tri_verts=tv)
+
+
+def test_mixed_prims_match_dense(mixed_scene, rays):
+    """Cylinder-with-caps and Moller-Trumbore paths in the kernel agree
+    with the XLA dense sweep (prim ids + t)."""
+    o3, d3, tmin = rays
+    rec = W._dense_trace(mixed_scene, o3, d3, tmin, None, any_hit=False,
+                         accept_min=None, t_max=None, active=None)
+    ct, cr = PS.trace_closest(mixed_scene, o3, d3, tmin, interpret=True)
+    dhit = np.asarray(rec.prim_type >= 0)
+    phit = np.asarray(cr) >= 0
+    assert (dhit == phit).mean() > 0.999
+    both = dhit & phit
+    rec_p = W._finalize_hit(mixed_scene, o3, d3, tmin, None,
+                            jnp.asarray(ct), jnp.asarray(cr),
+                            cost=jnp.zeros(tmin.shape, jnp.int32))
+    same_type = (np.asarray(rec_p.prim_type)[both]
+                 == np.asarray(rec.prim_type)[both])
+    same_local = (np.asarray(rec_p.prim_local)[both]
+                  == np.asarray(rec.prim_local)[both])
+    assert (same_type & same_local).mean() > 0.995
+    sel = both.copy(); sel[both] = same_type & same_local
+    t_ref = np.asarray(rec.t)[sel]
+    assert np.abs(np.asarray(ct)[sel] - t_ref).max() <= 1e-3
+
+    fd = W._dense_trace(mixed_scene, o3, d3, tmin, None, any_hit=True,
+                        accept_min=jnp.full(tmin.shape, 0.01), t_max=25.0,
+                        active=None)
+    fp = PS.trace_any(mixed_scene, o3, d3, tmin, t_max=25.0,
+                      accept_min=jnp.full(tmin.shape, 0.01), interpret=True)
+    assert (np.asarray(fd) == np.asarray(fp)).mean() > 0.999

@@ -1,0 +1,452 @@
+"""Pallas TPU traversal kernel over the cluster SoA (all primitive types).
+
+The XLA wavefront tracer (ops/wavefront.py) runs the same math as a chain
+of compiler-scheduled [B, C] elementwise ops; this kernel fuses the whole
+traversal in VMEM per 1024-ray block:
+
+  1. Entries pass: each cluster AABB is slab-tested against the block's
+     rays in 1-D lane form; dead rays contribute +inf, so blocks with no
+     live lanes run zero sweeps.
+  2. Front-to-back worklist: a loop-carried [1, MAX_CLUSTERS] vector of
+     block-nearest entry distances is consumed nearest-first. Closest-hit
+     blocks stop when the next entry exceeds the farthest per-ray closest
+     hit; occlusion blocks stop when every ray is shadowed.
+  3. Sweep: the visited cluster's SoA rows ([16, C] slice, lane axis = the
+     128 primitives) broadcast against per-ray columns ([B, 1]); sphere /
+     cylinder-with-caps / Moller-Trumbore tests are the same expressions
+     as ops/wavefront.intersect_soa_t (webgl.js:270-541 semantics), so
+     results agree with the XLA path to f32 rounding. Best (t, cluster)
+     is tracked per lane slot; ONE cross-lane reduction at the end
+     recovers the per-ray winner.
+
+Rays and primitives are shifted to scene-centered coordinates (f32
+conditioning). An earlier revision computed the sphere quadratic as two
+[B,16]@[16,128] MXU matmuls of an expanded bilinear form; it measured no
+faster than the broadcast-elementwise form (the VPU tail dominates) and
+cost precision, so everything now uses the exact (o - c) expressions.
+
+Dispatched automatically by wf_trace_closest_v3/any_v3 on the TPU backend
+for scenes with <= MAX_CLUSTERS clusters and no clip plane.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.bvh import PRIM_CYLINDER, PRIM_SPHERE, PRIM_TRIANGLE
+
+BIG = np.float32(1e20)
+INF = np.float32(np.inf)
+BLOCK = 1024          # rays per kernel program
+ROWS = 16             # SoA rows per cluster (12 data + 4 pad for alignment)
+MAX_CLUSTERS = 1024   # SoA VMEM budget: K * 16 * 128 * 4B = 8 MB at 1024
+
+
+def _kpad(k: int) -> int:
+    """Worklist width: clusters rounded up to a lane multiple."""
+    return -(-k // 128) * 128
+
+
+def _slab_entry(bb, k, od):
+    """Conservative 1-D [BLOCK] slab test against cluster k's AABB.
+    Mirrors ops/wavefront.cluster_entry_t (including the parallel-axis
+    inside check) — used only to skip clusters, never to accept hits."""
+    tn = jnp.full((BLOCK,), -BIG)
+    tf = jnp.full((BLOCK,), BIG)
+    ok = jnp.ones((BLOCK,), bool)
+    for axis in range(3):
+        o = od[3 + axis]
+        d = od[axis]
+        lo = bb[k, axis]
+        hi = bb[k, 3 + axis]
+        parallel = jnp.abs(d) < 1e-8
+        inv = 1.0 / jnp.where(parallel, 1.0, d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        tn = jnp.maximum(tn, jnp.where(parallel, -BIG, jnp.minimum(t1, t2)))
+        tf = jnp.minimum(tf, jnp.where(parallel, BIG, jnp.maximum(t1, t2)))
+        ok &= ~parallel | ((o >= lo) & (o <= hi))
+    hit = ok & (tf >= jnp.maximum(tn, 0.0))
+    return jnp.where(hit, jnp.maximum(tn, 0.0), INF)
+
+
+def _prim_ts(a_blk, soa_ref, k, types):
+    """[BLOCK, C] candidate hit distances for cluster k (-1 = no hit).
+    Same per-type math as ops/wavefront.intersect_soa_t; `types` is the
+    static (has_spheres, has_cylinders, has_triangles) triple."""
+    has_sph, has_cyl, has_tri = types
+
+    def row(i):
+        return soa_ref[pl.ds(k * ROWS + i, 1), :]     # [1, C]
+
+    dx = a_blk[:, 0:1]
+    dy = a_blk[:, 1:2]
+    dz = a_blk[:, 2:3]
+    ox = a_blk[:, 3:4]
+    oy = a_blk[:, 4:5]
+    oz = a_blk[:, 5:6]
+    tmin = a_blk[:, 6:7]
+    ptype = row(11)
+    ra = row(3)
+
+    t = jnp.full((BLOCK, soa_ref.shape[1]), -1.0, jnp.float32)
+
+    if has_sph:
+        sx = ox - row(0)
+        sy = oy - row(1)
+        sz = oz - row(2)
+        b = sx * dx + sy * dy + sz * dz
+        cterm = sx * sx + sy * sy + sz * sz - ra * ra
+        disc = b * b - cterm
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        ts = jnp.where(t0 > tmin, t0, t1)
+        ts = jnp.where(ok & (ts > tmin), ts, -1.0)
+        t = jnp.where(ptype == PRIM_SPHERE, ts, t)
+
+    if has_cyl:
+        p1x, p1y, p1z = row(0), row(1), row(2)
+        p2x, p2y, p2z = row(4), row(5), row(6)
+        avx = p2x - p1x
+        avy = p2y - p1y
+        avz = p2z - p1z
+        h2 = avx * avx + avy * avy + avz * avz
+        height = jnp.sqrt(h2)
+        degen = height < 1e-6
+        inv_h = 1.0 / jnp.where(degen, 1.0, height)
+        ax_ = avx * inv_h
+        ay_ = avy * inv_h
+        az_ = avz * inv_h
+
+        ocx = ox - p1x
+        ocy = oy - p1y
+        ocz = oz - p1z
+        dir_dot = dx * ax_ + dy * ay_ + dz * az_
+        oc_dot = ocx * ax_ + ocy * ay_ + ocz * az_
+        dpx = dx - ax_ * dir_dot
+        dpy = dy - ay_ * dir_dot
+        dpz = dz - az_ * dir_dot
+        opx = ocx - ax_ * oc_dot
+        opy = ocy - ay_ * oc_dot
+        opz = ocz - az_ * oc_dot
+        a_q = dpx * dpx + dpy * dpy + dpz * dpz
+        b_q = 2.0 * (dpx * opx + dpy * opy + dpz * opz)
+        c_q = opx * opx + opy * opy + opz * opz - ra * ra
+        disc = b_q * b_q - 4.0 * a_q * c_q
+        okq = (a_q > 1e-8) & (disc >= 0.0)
+        sq = jnp.sqrt(jnp.where(okq, disc, 0.0))
+        den = jnp.where(okq, 2.0 * a_q, 1.0)
+        t1c = (-b_q - sq) / den
+        t2c = (-b_q + sq) / den
+        hh1 = oc_dot + t1c * dir_dot
+        hh2 = oc_dot + t2c * dir_dot
+        ok1 = okq & (t1c > tmin) & (hh1 >= 0.0) & (hh1 <= height)
+        ok2 = okq & ~ok1 & (t2c > tmin) & (hh2 >= 0.0) & (hh2 <= height)
+        tc = jnp.where(ok1, t1c, jnp.where(ok2, t2c, -1.0))
+
+        for px_, py_, pz_, sign in ((p1x, p1y, p1z, -1.0),
+                                    (p2x, p2y, p2z, 1.0)):
+            qx = ox - px_
+            qy = oy - py_
+            qz = oz - pz_
+            bq = qx * dx + qy * dy + qz * dz
+            cq = qx * qx + qy * qy + qz * qz - ra * ra
+            dq = bq * bq - cq
+            okc = dq >= 0.0
+            sqc = jnp.sqrt(jnp.where(okc, dq, 0.0))
+            tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
+            tq = jnp.where(okc & (tq > tmin), tq, -1.0)
+            h = ((qx + dx * tq) * ax_ + (qy + dy * tq) * ay_
+                 + (qz + dz * tq) * az_)
+            better = (tq > tmin) & ((tc < 0.0) | (tq < tc)) & ((h * sign) >= 0.0)
+            tc = jnp.where(better, tq, tc)
+
+        # Degenerate cylinder: plain sphere at p1.
+        qx = ox - p1x
+        qy = oy - p1y
+        qz = oz - p1z
+        bq = qx * dx + qy * dy + qz * dz
+        cq = qx * qx + qy * qy + qz * qz - ra * ra
+        dq = bq * bq - cq
+        okc = dq >= 0.0
+        sqc = jnp.sqrt(jnp.where(okc, dq, 0.0))
+        tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
+        tq = jnp.where(okc & (tq > tmin), tq, -1.0)
+        tc = jnp.where(degen, tq, tc)
+        t = jnp.where(ptype == PRIM_CYLINDER, tc, t)
+
+    if has_tri:
+        v0x, v0y, v0z = row(0), row(1), row(2)
+        e1x = row(4) - v0x
+        e1y = row(5) - v0y
+        e1z = row(6) - v0z
+        e2x = row(8) - v0x
+        e2y = row(9) - v0y
+        e2z = row(10) - v0z
+        px_ = dy * e2z - dz * e2y
+        py_ = dz * e2x - dx * e2z
+        pz_ = dx * e2y - dy * e2x
+        det = e1x * px_ + e1y * py_ + e1z * pz_
+        okt = jnp.abs(det) >= 1e-6
+        inv = 1.0 / jnp.where(okt, det, 1.0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        okt &= (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > tmin)
+        tt = jnp.where(okt, tt, -1.0)
+        t = jnp.where(ptype == PRIM_TRIANGLE, tt, t)
+
+    return t
+
+
+def _block_entries(num_k, kpad, bb_ref, od, t_cap=None):
+    """[1, kpad] of each cluster's nearest entry distance over the
+    block's live rays (INF if nobody enters / everyone's cap is closer).
+    Loop-carried value — Mosaic has no dynamic single-lane stores."""
+    kio = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
+    act = od[6]
+
+    def body(k, ev):
+        entry = _slab_entry(bb_ref, k, od)
+        entry = jnp.where(act > 0.0, entry, INF)
+        if t_cap is not None:
+            entry = jnp.where(entry < t_cap, entry, INF)
+        return jnp.where(kio == k, jnp.min(entry), ev)
+
+    ev = jax.lax.fori_loop(0, num_k, body,
+                           jnp.full((1, kpad), INF, jnp.float32))
+    return ev, kio
+
+
+def _pop_nearest(ev, kio):
+    m = jnp.min(ev)
+    idx = jnp.min(jnp.where(ev == m, kio, jnp.int32(2 ** 30)))
+    return m, idx
+
+
+def _make_closest_kernel(types, kpad):
+    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bb_ref, t_out, row_out,
+               bt_ref, bk_ref):
+        a_blk = a_ref[:]
+        od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
+        num_k = num_k_ref[0]
+        bt_ref[:] = jnp.full((BLOCK, 128), BIG, jnp.float32)
+        bk_ref[:] = jnp.zeros((BLOCK, 128), jnp.int32)
+        ev0, kio = _block_entries(num_k, kpad, bb_ref, od)
+
+        def cond(carry):
+            return carry[1] < BIG
+
+        def body(carry):
+            ev, _, k = carry
+            ts = _prim_ts(a_blk, soa_ref, k, types)
+            bt = bt_ref[:]
+            upd = (ts > 0.0) & (ts < bt)
+            bt = jnp.where(upd, ts, bt)
+            bt_ref[:] = bt
+            bk_ref[:] = jnp.where(upd, k, bk_ref[:])
+            ev = jnp.where(kio == k, INF, ev)
+            e_next, k_next = _pop_nearest(ev, kio)
+            # Farthest per-ray closest hit; no-hit rays keep it at BIG, so
+            # only fully-hit blocks exit before the worklist runs dry.
+            bound = jnp.max(jnp.min(bt, axis=1))
+            e_next = jnp.where(e_next < bound, e_next, INF)
+            return ev, e_next, k_next
+
+        e0, k0 = _pop_nearest(ev0, kio)
+        jax.lax.while_loop(cond, body, (ev0, e0, k0))
+
+        bt = bt_ref[:]
+        tbest = jnp.min(bt, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1)
+        packed = jnp.where(bt == tbest[:, None], bk_ref[:] * 128 + lane,
+                           jnp.int32(2 ** 30))
+        rw = jnp.min(packed, axis=1)
+        t_out[:] = tbest
+        row_out[:] = jnp.where(tbest < BIG, rw, -1)
+
+    return kernel
+
+
+def _make_any_kernel(types, kpad):
+    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bb_ref, found_out,
+               found_ref):
+        a_blk = a_ref[:]
+        od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
+        t_hi = od_ref[6, :]
+        lo_col = a_blk[:, 7:8]
+        hi_col = a_blk[:, 8:9]
+        num_k = num_k_ref[0]
+        found_ref[:] = jnp.zeros((BLOCK,), jnp.int32)
+        ev0, kio = _block_entries(num_k, kpad, bb_ref, od, t_cap=t_hi)
+
+        def cond(carry):
+            return carry[1] < BIG
+
+        def body(carry):
+            ev, _, k = carry
+            ts = _prim_ts(a_blk, soa_ref, k, types)
+            hit = jnp.any((ts > lo_col) & (ts < hi_col), axis=1)
+            f = found_ref[:] | hit.astype(jnp.int32)
+            found_ref[:] = f
+            ev = jnp.where(kio == k, INF, ev)
+            e_next, k_next = _pop_nearest(ev, kio)
+            # Occlusion queries stop once every ray is shadowed.
+            e_next = jnp.where(jnp.min(f) > 0, INF, e_next)
+            return ev, e_next, k_next
+
+        e0, k0 = _pop_nearest(ev0, kio)
+        jax.lax.while_loop(cond, body, (ev0, e0, k0))
+        found_out[:] = found_ref[:]
+
+    return kernel
+
+
+def _scene_operands(scene):
+    """Scene-side kernel operands: scene-centered SoA [K*ROWS, C], AABBs
+    [K, 8], centroid [3]."""
+    k = scene.num_clusters
+    c = scene.cluster_size
+    soa = scene.cluster_soa                      # [K, 12, C]
+    bmin = scene.cluster_bmin
+    bmax = scene.cluster_bmax
+    mid = 0.5 * (jnp.min(bmin, axis=0) + jnp.max(bmax, axis=0))
+
+    # Shift positional rows (a.xyz, b.xyz, c.xyz) by the scene centroid;
+    # radius / local-index / type rows pass through. Padding prims keep
+    # type -1, which never matches a primitive test.
+    shift = jnp.array([mid[0], mid[1], mid[2], 0.0,
+                       mid[0], mid[1], mid[2], 0.0,
+                       mid[0], mid[1], mid[2], 0.0], jnp.float32)
+    # b.xyz rows are real positions for cylinders/triangles but carry the
+    # local index at row 7 and type at row 11 — those have 0 shift above.
+    soa_c = soa - shift[None, :, None]
+    pad = jnp.zeros((k, ROWS - 12, c), jnp.float32)
+    soa16 = jnp.concatenate([soa_c, pad], axis=1).reshape(k * ROWS, c)
+    bb = jnp.concatenate([bmin - mid[None, :], bmax - mid[None, :],
+                          jnp.zeros((k, 2), jnp.float32)], axis=1)
+    return soa16.astype(jnp.float32), bb.astype(jnp.float32), mid
+
+
+def _ray_operands(o3, d3, t_min, accept_lo, t_hi, mid, n_pad, active=None):
+    """A [Np, 16] per-ray columns (d, centered o, tmin, accept_lo, t_hi)
+    and od [8, Np] 1-D rows (d, centered o, t_hi, activity mask)."""
+    n = o3[0].shape[0]
+    ox, oy, oz = (o3[i] - mid[i] for i in range(3))
+    dx, dy, dz = d3
+    zero = jnp.zeros((n,), jnp.float32)
+    act = (jnp.ones((n,), jnp.float32) if active is None
+           else active.astype(jnp.float32))
+    cols = [dx, dy, dz, ox, oy, oz, t_min, accept_lo, t_hi,
+            zero, zero, zero, zero, zero, zero, zero]
+    a = jnp.stack(cols, axis=1)
+    od = jnp.stack([dx, dy, dz, ox, oy, oz, t_hi, act], axis=0)
+    if n_pad != n:
+        a = jnp.concatenate(
+            [a, jnp.zeros((n_pad - n, 16), jnp.float32)], axis=0)
+        od = jnp.concatenate(
+            [od, jnp.zeros((8, n_pad - n), jnp.float32)], axis=1)
+    return a, od
+
+
+def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bb, interpret):
+    nb = n_pad // BLOCK
+    if is_closest:
+        scratch = [pltpu.VMEM((BLOCK, 128), jnp.float32),
+                   pltpu.VMEM((BLOCK, 128), jnp.int32)]
+    else:
+        scratch = [pltpu.VMEM((BLOCK,), jnp.int32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((BLOCK, 16), lambda i, s: (i, 0)),
+            pl.BlockSpec((8, BLOCK), lambda i, s: (0, i)),
+            pl.BlockSpec((k * ROWS, 128), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
+                   for _ in outs],
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), dt) for dt in outs],
+        interpret=interpret,
+    )(jnp.array([k], jnp.int32), a, od, soa, bb)
+
+
+# With only a handful of clusters the XLA dense sweep has no culling to
+# exploit and no launch overhead; the kernel wins from ~4 clusters up
+# (measured: 1-cluster caffeine 85ms XLA vs 105ms kernel; 12-cluster
+# sphere scene 122ms vs 56ms).
+MIN_CLUSTERS = 4
+
+
+def supports(scene, clip) -> bool:
+    """Scene/trace shapes this kernel handles."""
+    return (clip is None
+            and MIN_CLUSTERS <= scene.num_clusters <= MAX_CLUSTERS
+            and scene.cluster_size == 128)
+
+
+def _types(scene):
+    return (scene.sphere_count > 0, scene.cylinder_count > 0,
+            scene.tri_count > 0)
+
+
+def trace_closest(scene, o3, d3, t_min, active=None, interpret=False):
+    """Closest hit. Returns (closest [N] f32 with BIG for miss, best_row
+    [N] i32 with -1 for miss) matching ops/wavefront._dense_trace's
+    accumulator outputs."""
+    n = o3[0].shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    soa, bb, mid = _scene_operands(scene)
+    a, od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
+                          jnp.full((n,), BIG), mid, n_pad, active=active)
+    t, row = _grid_call(
+        _make_closest_kernel(_types(scene), _kpad(scene.num_clusters)),
+        True, n_pad, scene.num_clusters, (jnp.float32, jnp.int32),
+        a, od, soa, bb, interpret)
+    closest = t[:n]
+    best_row = row[:n]
+    if active is not None:
+        closest = jnp.where(active, closest, BIG)
+        best_row = jnp.where(active, best_row, -1)
+    return closest, best_row
+
+
+def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, active=None,
+              interpret=False):
+    """Any hit with t in (accept_min, t_max) — the shadow-ray predicate of
+    ops/wavefront._dense_trace."""
+    n = o3[0].shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    if accept_min is None:
+        lo = jnp.zeros((n,), jnp.float32)
+    else:
+        lo = jnp.broadcast_to(jnp.asarray(accept_min, jnp.float32), (n,))
+    hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    soa, bb, mid = _scene_operands(scene)
+    a, od = _ray_operands(o3, d3, t_min, lo, hi, mid, n_pad, active=active)
+    (found,) = _grid_call(
+        _make_any_kernel(_types(scene), _kpad(scene.num_clusters)),
+        False, n_pad, scene.num_clusters, (jnp.int32,),
+        a, od, soa, bb, interpret)
+    found = found[:n] != 0
+    if active is not None:
+        found = found & active
+    return found

@@ -785,12 +785,12 @@ def _wf_trace_flat(scene, o3, d3, t_min, clip, any_hit, accept_min,
 
 
 def _pallas_auto(scene, clip, use_pallas):
-    """Route sphere-only scenes through the fused Pallas kernel on TPU
-    (ops/pallas_sphere.py). jax.default_backend() is resolved at trace
+    """Route eligible scenes through the fused Pallas traversal kernel on
+    TPU (ops/pallas_trace.py). jax.default_backend() is resolved at trace
     time, so CPU tests and the virtual-device mesh keep the XLA path."""
     if not use_pallas:
         return False
-    from . import pallas_sphere as PS
+    from . import pallas_trace as PS
 
     return PS.supports(scene, clip) and jax.default_backend() == "tpu"
 
@@ -809,27 +809,32 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
         return _dense_trace(scene, o3, d3, t_min, clip, any_hit=False,
                             accept_min=None, t_max=None, active=active)
     if _pallas_auto(scene, clip, use_pallas):
-        from . import pallas_sphere as PS
+        from . import pallas_trace as PS
 
         closest, best_row = PS.trace_closest(scene, o3, d3, t_min,
                                              active=active)
-        # Recompute the winner's t with the exact (o - c) quadratic — one
-        # [B]-wide pass that removes the kernel's expanded-form rounding,
-        # so hit positions match the XLA path to f32 ulps.
-        flat = scene.cluster_prims.reshape(-1, 12)
-        row = flat[jnp.maximum(best_row, 0)]
-        sx = o3[0] - row[:, 0]
-        sy = o3[1] - row[:, 1]
-        sz = o3[2] - row[:, 2]
-        b = sx * d3[0] + sy * d3[1] + sz * d3[2]
-        cterm = sx * sx + sy * sy + sz * sz - row[:, 3] * row[:, 3]
-        disc = b * b - cterm
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t0 = -b - sq
-        t1 = -b + sq
-        ts = jnp.where(t0 > t_min, t0, t1)
-        hit = (best_row >= 0) & (disc >= 0.0) & (ts > t_min)
-        closest = jnp.where(hit, ts, closest)
+        if scene.sphere_count:
+            # Recompute sphere winners' t with the quadratic in GLOBAL
+            # coordinates — one [B]-wide pass that removes the kernel's
+            # scene-centered rounding, so sphere hit positions match the
+            # XLA path to f32 ulps. Cylinder/triangle winners keep the
+            # kernel's t (same expressions, centered coordinates).
+            flat = scene.cluster_prims.reshape(-1, 12)
+            row = flat[jnp.maximum(best_row, 0)]
+            sx = o3[0] - row[:, 0]
+            sy = o3[1] - row[:, 1]
+            sz = o3[2] - row[:, 2]
+            b = sx * d3[0] + sy * d3[1] + sz * d3[2]
+            cterm = sx * sx + sy * sy + sz * sz - row[:, 3] * row[:, 3]
+            disc = b * b - cterm
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -b - sq
+            t1 = -b + sq
+            ts = jnp.where(t0 > t_min, t0, t1)
+            hit = ((best_row >= 0)
+                   & (row[:, 11].astype(jnp.int32) == PRIM_SPHERE)
+                   & (disc >= 0.0) & (ts > t_min))
+            closest = jnp.where(hit, ts, closest)
         return _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row,
                              cost=jnp.full((n,), k * scene.cluster_size,
                                            jnp.int32))
@@ -857,7 +862,7 @@ def wf_trace_any_v3(scene, o3, d3, t_min, t_max=BIG, accept_min=None,
         return _dense_trace(scene, o3, d3, t_min, clip, any_hit=True,
                             accept_min=accept_min, t_max=t_max, active=active)
     if _pallas_auto(scene, clip, use_pallas):
-        from . import pallas_sphere as PS
+        from . import pallas_trace as PS
 
         return PS.trace_any(scene, o3, d3, t_min, t_max=t_max,
                             accept_min=accept_min, active=active)
