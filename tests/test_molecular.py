@@ -166,3 +166,40 @@ class TestGeometry:
         mol = parse_pdb("END\n")
         geo = molecule_to_geometry(mol)
         assert geo.num_spheres == 0 and geo.num_cylinders == 0
+
+
+def test_fetch_pdb_cache_and_mock(tmp_path, monkeypatch):
+    """fetch_pdb (molecular.js:412-420): RCSB URL, cache write, cache hit."""
+    import io
+    import urllib.request
+
+    from webgl_raytracer_tpu.models.molecular import fetch_pdb
+
+    pdb_text = (
+        "ATOM      1  CA  ALA A   1       1.000   2.000   3.000"
+        "  1.00  0.00           C\nEND\n")
+
+    class FakeResp(io.BytesIO):
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    calls = []
+
+    def fake_urlopen(url, timeout=None):
+        calls.append(url)
+        return FakeResp(pdb_text.encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    mol = fetch_pdb("1abc", cache_dir=str(tmp_path))
+    assert mol.num_atoms == 1
+    assert calls == ["https://files.rcsb.org/download/1ABC.pdb"]
+    assert (tmp_path / "1ABC.pdb").exists()
+
+    # Second call must hit the cache, not the network.
+    mol2 = fetch_pdb("1abc", cache_dir=str(tmp_path))
+    assert mol2.num_atoms == 1 and len(calls) == 1
