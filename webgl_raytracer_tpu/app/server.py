@@ -38,6 +38,11 @@ VIEWER_HTML = """<!DOCTYPE html>
              display:none; }
  #hoverlabel { position:absolute; color:#7fc9ff; font-size:11px;
                pointer-events:none; display:none; }
+ #panel { margin-top:10px; max-width:720px; display:flex; flex-wrap:wrap;
+          gap:10px 18px; font-size:12px; }
+ #panel label { display:flex; align-items:center; gap:6px; }
+ #panel input[type=range] { width:90px; }
+ select { background:#222; color:#ddd; border:1px solid #555; }
 </style></head>
 <body>
 <h3>webgl_raytracer_tpu</h3>
@@ -46,6 +51,33 @@ VIEWER_HTML = """<!DOCTYPE html>
 <div id="hoverbox"></div><div id="hoverlabel"></div>
 </div>
 <div id="status"></div>
+<div id="panel">
+ <label>material
+  <select data-k="material_mode">
+   <option>metallic</option><option>matte</option>
+   <option>surface-glass</option><option>translucent-plastic</option>
+  </select></label>
+ <label>tone map
+  <select data-k="tone_map">
+   <option>aces</option><option>linear</option><option>reinhard</option>
+  </select></label>
+ <label>vis
+  <select data-k="vis_mode" data-num="1">
+   <option value="0">render</option><option value="1">normals</option>
+   <option value="2">cost</option><option value="3">depth</option>
+  </select></label>
+ <label>exposure <input type="range" data-k="exposure" data-num="1"
+   min="0.1" max="4" step="0.1" value="1.0"></label>
+ <label>roughness <input type="range" data-k="roughness" data-num="1"
+   min="0.02" max="1" step="0.02" value="0.4"></label>
+ <label>env <input type="range" data-k="env_intensity" data-num="1"
+   min="0" max="1" step="0.02" value="0.1"></label>
+ <label>bounces <input type="range" data-k="max_bounces" data-num="1"
+   data-int="1" min="1" max="8" step="1" value="4"></label>
+ <label><input type="checkbox" data-k="cast_shadows" checked> shadows</label>
+ <label><input type="checkbox" data-k="dof_enabled"> DoF</label>
+ <label><input type="checkbox" data-k="clip_enabled"> clip</label>
+</div>
 <script>
 const img = document.getElementById('frame');
 const status = document.getElementById('status');
@@ -103,12 +135,23 @@ img.addEventListener('click', async e => {
   if (f.focus != null) status.textContent = 'focus -> ' + f.focus.toFixed(2);
 });
 window.addEventListener('keydown', async e => {
+  if (e.target.tagName === 'SELECT' || e.target.tagName === 'INPUT') return;
   const k = e.key.toLowerCase();
   if ('wasdqe'.includes(k)) {
     await fetch('/fly', {method:'POST', body: JSON.stringify({keys:[k], dt:0.1})});
   } else if ('0123'.includes(k)) {
     await fetch('/settings', {method:'POST', body: JSON.stringify({vis_mode: +k})});
   }
+});
+document.querySelectorAll('#panel [data-k]').forEach(el => {
+  el.addEventListener('change', async () => {
+    const key = el.dataset.k;
+    let val;
+    if (el.type === 'checkbox') val = el.checked;
+    else if (el.dataset.num) val = el.dataset.int ? parseInt(el.value) : parseFloat(el.value);
+    else val = el.value;
+    await fetch('/settings', {method:'POST', body: JSON.stringify({[key]: val})});
+  });
 });
 </script>
 </body></html>
