@@ -289,3 +289,40 @@ def test_server_hover_and_focus():
     assert abs(r.settings.dof_focus_distance - d) < 1e-6
 
     assert state.hover(1, 1) is None  # corner: background
+
+
+class TestSppSharded:
+    @pytest.mark.parametrize("spp", [8, 5, 3])
+    def test_spp_sharded_matches_single_device(self, spp):
+        """The psum spp-sharding mode (parallel/mesh.py) must reproduce the
+        single-device render for divisible AND non-divisible spp — every
+        global sample index is traced exactly once across shards."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        import jax.numpy as jnp
+
+        from webgl_raytracer_tpu.parallel import make_mesh
+        from webgl_raytracer_tpu.parallel.mesh import render_spp_sharded
+        from webgl_raytracer_tpu.render.config import split_settings
+        from webgl_raytracer_tpu.render.integrator import render_batch
+        from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
+
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        r.settings.tone_map = "linear"
+        r.settings.samples_per_bounce = spp
+        basis = r.camera.basis()
+        flags, u = split_settings(
+            r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
+            has_env=False, has_volume=False, clip=None,
+            distributed=True)
+        px, py = r._pixel_grids()
+        single = np.asarray(render_batch(r.scene, None, None, flags, u,
+                                         px, py, jnp.uint32(0)))
+        mesh = make_mesh()
+        sharded = np.asarray(render_spp_sharded(
+            mesh, loaded.scene, None, None, flags, u,
+            np.asarray(px), np.asarray(py), jnp.uint32(0)))
+        np.testing.assert_allclose(sharded, single, atol=2e-5)

@@ -95,7 +95,8 @@ async function refresh() {
   } finally { busy = false; }
 }
 setInterval(refresh, 150);
-img.addEventListener('pointerdown', e => { dragging = true; lastX = e.clientX; lastY = e.clientY; });
+img.addEventListener('pointerdown', e => { dragging = true; lastX = e.clientX; lastY = e.clientY;
+  fetch('/orbit', {method:'POST', body: JSON.stringify({start: true})}); });
 window.addEventListener('pointerup', () => dragging = false);
 window.addEventListener('pointermove', async e => {
   if (!dragging) return;
@@ -169,6 +170,7 @@ class ViewerState:
         self.logger = logger
         self.lock = threading.Lock()
         self._last_input = 0.0
+        self._rotate_lock = None   # first-drag yaw/pitch axis lock
 
     def _interactive(self) -> None:
         """Mark a camera/settings input: drop to the fast preview scale."""
@@ -217,9 +219,22 @@ class ViewerState:
             "vis_mode": r.settings.vis_mode,
         }
 
-    def orbit(self, dx: float, dy: float) -> None:
+    def orbit(self, dx: float, dy: float, start: bool = False) -> None:
+        """Orbit drag with the reference's first-drag axis lock
+        (main.js:2076-2082): the dominant delta locks the drag to yaw or
+        pitch; sub-threshold motion before the lock resolves is ignored."""
+        from ..scene.camera import resolve_rotation_lock
+
         with self.lock:
-            self.renderer.camera.drag(dx, dy)
+            if start:
+                self._rotate_lock = None
+                return
+            self._rotate_lock = resolve_rotation_lock(self._rotate_lock, dx, dy)
+            if self._rotate_lock is None:
+                return
+            ldx = dx if self._rotate_lock == "yaw" else 0.0
+            ldy = dy if self._rotate_lock == "pitch" else 0.0
+            self.renderer.camera.drag(ldx, ldy)
             self._interactive()
             self.renderer.reset_accumulation()
 
@@ -274,10 +289,43 @@ class ViewerState:
             return d
 
     def update_settings(self, updates: dict) -> None:
+        """Validated settings update: only RenderSettings scalar fields are
+        writable, values are coerced to the field's type, and enum fields
+        are checked — a malformed POST cannot wedge the next /frame.png."""
+        from ..render.config import MATERIAL_MODES, TONE_MAPS
+
+        enums = {"material_mode": set(MATERIAL_MODES), "tone_map": set(TONE_MAPS),
+                 "tracer": {"wavefront", "stack"}}
         with self.lock:
+            s = self.renderer.settings
             for key, value in updates.items():
-                if hasattr(self.renderer.settings, key):
-                    setattr(self.renderer.settings, key, value)
+                if key.startswith("_") or not hasattr(s, key):
+                    continue
+                current = getattr(s, key)
+                try:
+                    if isinstance(current, bool):
+                        value = bool(value)
+                    elif isinstance(current, int):
+                        value = int(value)
+                    elif isinstance(current, float):
+                        value = float(value)
+                    elif isinstance(current, str):
+                        value = str(value)
+                        if key in enums and value not in enums[key]:
+                            raise ValueError(value)
+                    elif isinstance(current, tuple):
+                        value = tuple(float(v) for v in value)
+                        if len(value) != len(current):
+                            raise ValueError(value)
+                    else:
+                        continue   # lights/clip state have dedicated routes
+                except (TypeError, ValueError):
+                    if self.logger:
+                        self.logger.warn(f"rejected setting {key}={value!r}")
+                    continue
+                if key == "max_frames":
+                    value = int(min(max(value, 0), 2000))
+                setattr(s, key, value)
             self._interactive()
             self.renderer.reset_accumulation()
 
@@ -321,7 +369,8 @@ def _make_handler(state: ViewerState):
                 return
             path = self.path.split("?")[0]
             if path == "/orbit":
-                state.orbit(float(body.get("dx", 0)), float(body.get("dy", 0)))
+                state.orbit(float(body.get("dx", 0)), float(body.get("dy", 0)),
+                            start=bool(body.get("start", False)))
             elif path == "/fly":
                 state.fly(body.get("keys", []), float(body.get("dt", 0.016)))
             elif path == "/settings":
@@ -407,7 +456,8 @@ def asgi_app(renderer, logger=None):
                 await respond(400, b'{"error": "bad json"}')
                 return
             if path == "/orbit":
-                state.orbit(float(data.get("dx", 0)), float(data.get("dy", 0)))
+                state.orbit(float(data.get("dx", 0)), float(data.get("dy", 0)),
+                        start=bool(data.get("start", False)))
             elif path == "/fly":
                 state.fly(data.get("keys", []), float(data.get("dt", 0.016)))
             elif path == "/settings":

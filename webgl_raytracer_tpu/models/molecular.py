@@ -18,6 +18,7 @@ object-graph walk.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -484,6 +485,10 @@ def fetch_pdb(pdb_id: str, cache_dir: str | None = None, timeout: float = 30.0) 
     """Fetch a PDB entry from RCSB (molecular.js:412-420), with an optional
     local cache so offline runs can use pre-downloaded files."""
     pdb_id = pdb_id.upper()
+    if not re.fullmatch(r"[A-Z0-9]{4}", pdb_id):
+        # Guards both the URL suffix and the cache filename (an id like
+        # '../x' must not escape cache_dir).
+        raise ValueError(f"Invalid PDB id: {pdb_id!r} (expected 4 alphanumerics)")
     if cache_dir:
         path = os.path.join(cache_dir, f"{pdb_id}.pdb")
         if os.path.exists(path):

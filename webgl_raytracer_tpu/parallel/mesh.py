@@ -82,23 +82,30 @@ def _render_spp_sharded(scene, env, vol, flags, uniforms, px, py, frame_index,
     from ..render.integrator import generate_camera_rays, trace_paths
 
     n_dev = mesh.devices.size
-    spp_per = max(1, flags.spp // n_dev)
+    # Exactly flags.spp samples total: the first (spp % n_dev) shards take
+    # one extra, so non-divisible spp neither over- nor under-samples.
+    base = flags.spp // n_dev
+    rem = flags.spp % n_dev
+    max_per = base + (1 if rem else 0)
 
     def shard_body(px_l, py_l):
         from ..ops import vec3 as V
 
         idx = jax.lax.axis_index(axis_name)
+        count = base + jnp.where(idx < rem, 1, 0)
+        start = idx * base + jnp.minimum(idx, rem)
         total = jnp.zeros(px_l.shape + (3,), jnp.float32)
-        for s in range(spp_per):
-            sample = idx * spp_per + s
+        for s in range(max_per):
+            sample = start + s
             seed, origin, direction = generate_camera_rays(
                 uniforms, flags, px_l, py_l, frame_index, sample
             )
             radiance, _ = trace_paths(scene, env, vol, flags, uniforms,
                                       origin, direction, seed)
-            total = total + V.to_array(radiance)
+            keep = (s < count).astype(jnp.float32)
+            total = total + V.to_array(radiance) * keep
         total = jax.lax.psum(total, axis_name)
-        return total / (spp_per * n_dev) * uniforms.exposure
+        return total / flags.spp * uniforms.exposure
 
     fn = shard_map(
         shard_body,

@@ -680,13 +680,41 @@ def _tile_permutation(hit, g):
     return perm, inv
 
 
+def _use_megakernel(scene, env, vol, flags):
+    """Route eligible frames through the single-launch path megakernel
+    (ops/pallas_path.py) on TPU. Opt out with WRT_NO_MEGAKERNEL=1."""
+    import os
+
+    if os.environ.get("WRT_NO_MEGAKERNEL"):
+        return False
+    from ..ops import pallas_path as PP
+
+    return PP.supports(scene, flags, env, vol) and jax.default_backend() == "tpu"
+
+
 def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
                      with_stats=False):
-    """One full path-traced sample for every pixel, with hit-first
-    compaction: primaries trace unchunked, rays are then stably partitioned
-    so hits are contiguous, and all remaining transport (shading, shadows,
-    secondary bounces) runs as a chunk scan where all-miss chunks skip
-    everything past the environment lookup."""
+    """One full path-traced sample for every pixel.
+
+    Fast path: the Pallas megakernel traces the whole transport (ray gen,
+    bounce loop, shadows, RR) in one launch per 1024-ray screen block —
+    no permutation or chunk scan needed, background blocks exit in-kernel.
+    Fallback (env/volume/distributed/vis/big-scene): hit-first compaction —
+    primaries trace unchunked, rays are stably partitioned so hits are
+    contiguous, and the remaining transport runs as a chunk scan where
+    all-miss chunks skip everything past the environment lookup."""
+    if _use_megakernel(scene, env, vol, flags):
+        from ..ops import pallas_path as PP
+
+        radiance, nrays = PP.render_sample(scene, flags, u, px, py,
+                                           frame_index, s,
+                                           with_stats=with_stats)
+        if with_stats:
+            # The megakernel counts shadow candidates per lane; primaries
+            # and live bounces are counted in-kernel as well.
+            return radiance, jnp.zeros((), jnp.uint32), nrays
+        return radiance, jnp.zeros((), jnp.uint32)
+
     seed, origin, direction = generate_camera_rays(u, flags, px, py, frame_index, s)
     n = px.shape[0]
     chunks = 1 if flags.distributed else _chunk_count(n)

@@ -84,6 +84,9 @@ class SceneBuffers:
     cluster_color: np.ndarray = None    # f32[K*C,3]
     cluster_bmin: np.ndarray = None     # f32[K,3]
     cluster_bmax: np.ndarray = None     # f32[K,3]
+    # Shading-attribute SoA for the path megakernel (ops/pallas_path.py):
+    # per cluster, rows = color rgb | tri vertex normals | tri flag.
+    cluster_attr: np.ndarray = None     # f32[K,16,C]
 
     tri_count: int = field(metadata=dict(static=True), default=0)
     sphere_count: int = field(metadata=dict(static=True), default=0)
@@ -209,12 +212,18 @@ def compile_scene(
 
     cl = _build_clusters(geometry, tv, tc, cluster_size, nt, ns)
 
+    from ..ops.pallas_path import build_attr_soa
+
+    cluster_attr = build_attr_soa(cl[0].shape[0], cluster_size, cl[0], cl[1],
+                                  tn, tf, nt)
+
     return SceneBuffers(
         cluster_prims=cl[0],
         cluster_soa=np.ascontiguousarray(cl[0].transpose(0, 2, 1)),
         cluster_color=cl[1],
         cluster_bmin=cl[2],
         cluster_bmax=cl[3],
+        cluster_attr=cluster_attr,
         num_clusters=cl[0].shape[0],
         cluster_size=cluster_size,
         node_bmin=bvh.node_bmin,
