@@ -326,3 +326,45 @@ class TestSppSharded:
             mesh, loaded.scene, None, None, flags, u,
             np.asarray(px), np.asarray(py), jnp.uint32(0)))
         np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+class TestUiSemantics:
+    def test_material_preset_translucent(self):
+        """applyMaterialPreset (main.js:1088-1098): only translucent-plastic
+        loads its dielectric defaults."""
+        from webgl_raytracer_tpu.render.config import (RenderSettings,
+                                                       apply_material_preset)
+
+        s = RenderSettings()
+        assert not apply_material_preset(s, "metallic")
+        assert s.roughness == RenderSettings().roughness
+        assert apply_material_preset(s, "translucent-plastic")
+        assert (s.metallic, s.roughness, s.rim_boost) == (0.0, 0.22, 0.0)
+        assert (s.surface_ior, s.surface_transmission, s.surface_opacity) == \
+            (1.46, 0.55, 0.15)
+
+    def test_max_frames_and_clip_clamps(self):
+        """maxFrames 0..2000 clamp + clip range from sceneScale
+        (ui_controller.js:52-68) via the settings route."""
+        from webgl_raytracer_tpu.app.server import ViewerState
+        from webgl_raytracer_tpu.render.config import clip_distance_max
+
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        state = ViewerState(r)
+        state.update_settings({"max_frames": 99999, "clip_distance": 1e6})
+        assert r.settings.max_frames == 2000
+        lim = clip_distance_max(r.scene_scale)
+        assert r.settings.clip_distance == pytest.approx(lim)
+        state.update_settings({"max_frames": -5, "clip_distance": -1e6})
+        assert r.settings.max_frames == 0
+        assert r.settings.clip_distance == pytest.approx(-lim)
+
+    def test_settings_route_applies_preset(self):
+        from webgl_raytracer_tpu.app.server import ViewerState
+
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        state = ViewerState(r)
+        state.update_settings({"material_mode": "translucent-plastic"})
+        assert r.settings.surface_ior == 1.46

@@ -292,7 +292,8 @@ class ViewerState:
         """Validated settings update: only RenderSettings scalar fields are
         writable, values are coerced to the field's type, and enum fields
         are checked — a malformed POST cannot wedge the next /frame.png."""
-        from ..render.config import MATERIAL_MODES, TONE_MAPS
+        from ..render.config import (MATERIAL_MODES, TONE_MAPS,
+                                     apply_material_preset, clip_distance_max)
 
         enums = {"material_mode": set(MATERIAL_MODES), "tone_map": set(TONE_MAPS),
                  "tracer": {"wavefront", "stack"}}
@@ -325,7 +326,14 @@ class ViewerState:
                     continue
                 if key == "max_frames":
                     value = int(min(max(value, 0), 2000))
+                if key == "clip_distance":
+                    # Range from scene scale (ui_controller.js:58-68).
+                    lim = clip_distance_max(self.renderer.scene_scale)
+                    value = float(min(max(value, -lim), lim))
                 setattr(s, key, value)
+                if key == "material_mode" and apply_material_preset(s, value):
+                    if self.logger:
+                        self.logger.info("Applied preset: Translucent Plastic")
             self._interactive()
             self.renderer.reset_accumulation()
 

@@ -262,17 +262,53 @@ def _bucket(n: int) -> int:
     return cap
 
 
+# Geometric grid-size ladder (~1.25x steps, all 64-multiples): a new
+# molecule/resolution that lands within ~25% of a previous one reuses its
+# compiled kernels instead of paying a fresh multi-minute remote compile.
+_DIM_LADDER = (64, 128, 192, 256, 320, 384, 448, 576, 704, 896, 1088, 1344)
+
+
+def _ladder(n: int) -> int:
+    for v in _DIM_LADDER:
+        if n <= v:
+            return v
+    return -(-n // 64) * 64
+
+
 def marching_cubes_device(data, grid_min, resolution, max_dist, isovalue=0.0,
                           verts_only=False):
     """Device marching cubes. data: f32[nz,ny,nx] (numpy or jax array).
     Returns numpy (vertices f32[V,3], normals f32[V,3], indices u32[T,3]);
     with verts_only=True, just vertices (normals/indices empty).
 
-    The grid is padded to 64-voxel shape buckets with the +max_dist
-    background (no new crossings), so different molecules reuse the same
-    compiled kernels."""
+    Compile-shape bucketing: axes are sorted into canonical (descending)
+    order — MC runs on the transposed grid and vertex/normal components are
+    permuted back — and each dim pads up the geometric _DIM_LADDER with the
+    +max_dist background (no new crossings). Both steps collapse the space
+    of compiled shapes so new scenes/sizes mostly hit the kernel cache."""
     data = np.asarray(data, np.float32)
-    pad = [(0, (-s) % 64) for s in data.shape]
+    gmin3 = np.asarray(grid_min, np.float32)
+
+    # data axes are (z, y, x) = world components (2, 1, 0): axis i of the
+    # array corresponds to world component 2 - i.
+    order = tuple(np.argsort([-s for s in data.shape], kind="stable"))
+    if order != (0, 1, 2):
+        data = np.ascontiguousarray(np.transpose(data, order))
+        # world component handled by transposed axis i is comp[i]:
+        comp = [2 - order[i] for i in range(3)]
+        # The kernel emits vertex coords for its (x, y, z) = axes (2, 1, 0)
+        # of the transposed grid, i.e. world components comp[2], comp[1],
+        # comp[0]; out_world[c] is kernel column where comp[2 - col] == c.
+        col_for_world = [0, 0, 0]
+        for col in range(3):
+            col_for_world[comp[2 - col]] = col
+        gmin_k = np.array([gmin3[comp[2]], gmin3[comp[1]], gmin3[comp[0]]],
+                          np.float32)
+    else:
+        col_for_world = [0, 1, 2]
+        gmin_k = gmin3
+
+    pad = [(0, _ladder(s) - s) for s in data.shape]
     if any(p[1] for p in pad):
         data = np.pad(data, pad, constant_values=max_dist)
     data = jnp.asarray(data, jnp.float32)
@@ -290,23 +326,25 @@ def marching_cubes_device(data, grid_min, resolution, max_dist, isovalue=0.0,
     tri_cap = _bucket(n_tris)
     tri_out_cap = tri_cap
 
-    gmin = np.asarray(grid_min, np.float32)
     out = _mc_extract(
-        data, iso, jnp.float32(gmin[0]), jnp.float32(gmin[1]),
-        jnp.float32(gmin[2]), jnp.float32(resolution), jnp.float32(max_dist),
+        data, iso, jnp.float32(gmin_k[0]), jnp.float32(gmin_k[1]),
+        jnp.float32(gmin_k[2]), jnp.float32(resolution), jnp.float32(max_dist),
         vert_cap, tri_cap, tri_out_cap, verts_only,
     )
+
+    def world_stack(cols):
+        cols = [np.asarray(c) for c in cols]
+        return np.stack([cols[col_for_world[0]], cols[col_for_world[1]],
+                         cols[col_for_world[2]]], axis=1)
+
     if verts_only:
         vx, vy, vz, total = out
-        verts = np.stack([np.asarray(vx), np.asarray(vy), np.asarray(vz)],
-                         axis=1)[:n_verts]
+        verts = world_stack((vx, vy, vz))[:n_verts]
         return (verts, np.zeros((0, 3), np.float32),
                 np.zeros((0, 3), np.uint32))
     vx, vy, vz, nx_, ny_, nz_, t0, t1, t2, total = out
-    verts = np.stack([np.asarray(vx), np.asarray(vy), np.asarray(vz)],
-                     axis=1)[:n_verts]
-    normals = np.stack([np.asarray(nx_), np.asarray(ny_), np.asarray(nz_)],
-                       axis=1)[:n_verts]
+    verts = world_stack((vx, vy, vz))[:n_verts]
+    normals = world_stack((nx_, ny_, nz_))[:n_verts]
     tris = np.stack([np.asarray(t0), np.asarray(t1), np.asarray(t2)],
                     axis=1)[:n_tris]
     return verts, normals, tris.astype(np.uint32)

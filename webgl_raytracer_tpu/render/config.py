@@ -101,6 +101,27 @@ class RenderSettings:
         return replace(self, **kw)
 
 
+def apply_material_preset(settings: RenderSettings, mode: str) -> bool:
+    """Material-mode preset application (main.js:1088-1098): selecting
+    translucent-plastic loads its dielectric defaults; other modes leave
+    the sliders untouched. Returns True when a preset was applied."""
+    if mode != "translucent-plastic":
+        return False
+    settings.metallic = 0.0
+    settings.roughness = 0.22
+    settings.rim_boost = 0.0
+    settings.surface_ior = 1.46
+    settings.surface_transmission = 0.55
+    settings.surface_opacity = 0.15
+    return True
+
+
+def clip_distance_max(scene_scale: float) -> float:
+    """Clip-plane distance range derived from the scene scale
+    (ui_controller.js:58-68): max(1, sceneScale * 4)."""
+    return max(1.0, float(scene_scale) * 4.0)
+
+
 @dataclass(frozen=True)
 class StaticFlags:
     """Kernel-specializing switches (hashable; a jit static argument)."""
