@@ -39,7 +39,8 @@ def rays():
 
 def test_supports(sphere_scene):
     assert PS.supports(sphere_scene, None)
-    assert not PS.supports(sphere_scene, (0.0, 0.0, 1.0, 5.0))
+    # Clip planes are handled in-kernel since round 2.
+    assert PS.supports(sphere_scene, (np.array([0.0, 0.0, 1.0]), 5.0, 1.0))
 
 
 def test_closest_matches_dense(sphere_scene, rays):
@@ -123,4 +124,33 @@ def test_mixed_prims_match_dense(mixed_scene, rays):
                         active=None)
     fp = PS.trace_any(mixed_scene, o3, d3, tmin, t_max=25.0,
                       accept_min=jnp.full(tmin.shape, 0.01), interpret=True)
+    assert (np.asarray(fd) == np.asarray(fp)).mean() > 0.999
+
+
+def test_clip_plane_in_kernel(mixed_scene, rays):
+    """Clip rejection (webgl.js:384-390) inside the kernel: triangle hits on
+    the clipped side are discarded, matching the XLA sweep with the same
+    plane — clip scenes no longer fall off the kernel path."""
+    o3, d3, tmin = rays
+    clip = (np.array([0.0, 1.0, 0.0], np.float32), 0.0, 1.0)
+    rec = W._dense_trace(mixed_scene, o3, d3, tmin,
+                         (jnp.asarray(clip[0]), jnp.float32(clip[1]),
+                          jnp.float32(clip[2])),
+                         any_hit=False, accept_min=None, t_max=None,
+                         active=None)
+    ct, cr = PS.trace_closest(mixed_scene, o3, d3, tmin, clip=clip,
+                              interpret=True)
+    dhit = np.asarray(rec.prim_type >= 0)
+    phit = np.asarray(cr) >= 0
+    assert (dhit == phit).mean() > 0.999
+    both = dhit & phit
+    assert np.allclose(np.asarray(ct)[both], np.asarray(rec.t)[both],
+                       rtol=2e-4, atol=1e-4)
+
+    fd = W._dense_trace(mixed_scene, o3, d3, tmin,
+                        (jnp.asarray(clip[0]), jnp.float32(clip[1]),
+                         jnp.float32(clip[2])),
+                        any_hit=True, accept_min=None, t_max=None,
+                        active=None)
+    fp = PS.trace_any(mixed_scene, o3, d3, tmin, clip=clip, interpret=True)
     assert (np.asarray(fd) == np.asarray(fp)).mean() > 0.999

@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""On-TPU kernel validation lane: run the COMPILED (non-interpret) Pallas
+kernels against the pure-XLA paths on the real chip and assert equivalence.
+
+The pytest suite exercises the kernels only under interpret=True on the CPU
+mesh (tests/test_pallas.py, tests/test_pallas_path.py); Mosaic compilation
+differences (precision, lane stores, layout quirks) only show up on
+hardware. This script is that missing lane — run it whenever kernels
+change:
+
+  python tools/tpu_smoke.py            # all checks
+  python tools/tpu_smoke.py --fast     # skip the 1080p timing probe
+
+Checks:
+  1. traversal kernel closest-hit vs the XLA wavefront sweep — all prim
+     types, t and winning-row agreement;
+  2. traversal kernel any-hit vs XLA (shadow predicate semantics);
+  3. path megakernel frame vs the XLA integrator frame (decision-flip
+     tolerant: both consume the same RNG stream, so mismatches beyond
+     f32 noise fail);
+  4. (unless --fast) a timing probe on the 1000-sphere bench scene.
+
+Exit code 0 = all equivalences hold on this chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    args = ap.parse_args()
+
+    from webgl_raytracer_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() not in ("tpu",):
+        print(f"SKIP: backend is {jax.default_backend()}, not tpu")
+        return 0
+
+    from webgl_raytracer_tpu.app.pipeline import (load_molecule_scene,
+                                                  load_random_spheres)
+    from webgl_raytracer_tpu.models import get_builtin_molecule
+    from webgl_raytracer_tpu.ops import pallas_trace as PS
+    from webgl_raytracer_tpu.render import Renderer
+    from webgl_raytracer_tpu.render.config import split_settings
+    from webgl_raytracer_tpu.render.integrator import _sample_radiance
+    from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
+
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"{'ok  ' if ok else 'FAIL'} {name} {detail}")
+        if not ok:
+            failures.append(name)
+
+    # --- 1+2: traversal kernel vs XLA sweep on a mixed-prim scene ---------
+    loaded = load_molecule_scene(get_builtin_molecule("caffeine"))
+    scene = Renderer(loaded.scene).scene   # device_put
+    rng = np.random.default_rng(3)
+    n = 4096
+    lo, hi = np.asarray(scene.node_bmin[0]), np.asarray(scene.node_bmax[0])
+    mid, span = (lo + hi) / 2, (hi - lo)
+    o = (mid + (rng.random((n, 3)) - 0.5) * span * 3).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o3 = tuple(jnp.asarray(o[:, i]) for i in range(3))
+    d3 = tuple(jnp.asarray(d[:, i]) for i in range(3))
+    t_min = jnp.full((n,), 1e-4, jnp.float32)
+
+    t_k, row_k = jax.jit(lambda *a: PS.trace_closest(scene, *a))(o3, d3, t_min)
+    from webgl_raytracer_tpu.ops.wavefront import wf_trace_closest_v3
+
+    rec = jax.jit(lambda *a: wf_trace_closest_v3(
+        scene, a[0], a[1], a[2], use_pallas=False))((o3), (d3), t_min)
+    t_k = np.asarray(t_k)
+    row_k = np.asarray(row_k)
+    t_x = np.asarray(rec.t)
+    slot_x = np.asarray(rec.prim_slot)
+    hit_agree = (row_k >= 0) == (slot_x >= 0)
+    both = (row_k >= 0) & (slot_x >= 0)
+    # winner row may differ on exact ulp ties; t must agree to f32 tolerance
+    rel = np.abs(t_k[both] - t_x[both]) / np.maximum(t_x[both], 1e-3)
+    check("closest-hit kernel vs XLA (hits)", hit_agree.mean() > 0.999,
+          f"hit agreement {hit_agree.mean():.4f}")
+    check("closest-hit kernel vs XLA (t)", float(rel.max(initial=0)) < 2e-3,
+          f"max rel dt {rel.max(initial=0):.2e}")
+
+    from webgl_raytracer_tpu.ops.wavefront import wf_trace_any_v3
+
+    any_k = np.asarray(jax.jit(lambda *a: PS.trace_any(scene, *a))(o3, d3, t_min))
+    any_x = np.asarray(jax.jit(lambda *a: wf_trace_any_v3(
+        scene, a[0], a[1], a[2], use_pallas=False))((o3), (d3), t_min))
+    agree = (any_k == any_x).mean()
+    check("any-hit kernel vs XLA", agree > 0.999, f"agreement {agree:.4f}")
+
+    # --- 3: path megakernel frame vs XLA integrator frame -----------------
+    from webgl_raytracer_tpu.ops import pallas_path as PP
+
+    r = Renderer(loaded.scene, width=96, height=96)
+    r.settings.tone_map = "linear"
+    basis = r.camera.basis()
+    flags, u = split_settings(
+        r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
+        has_env=False, has_volume=False, clip=None)
+    px, py = r._pixel_grids()
+    if PP.supports(r.scene, flags, None, None):
+        os.environ["WRT_NO_MEGAKERNEL"] = "1"
+        rad_x, _ = jax.jit(lambda u, px, py: _sample_radiance(
+            r.scene, None, None, flags, u, px, py, jnp.uint32(0), 0))(u, px, py)
+        del os.environ["WRT_NO_MEGAKERNEL"]
+        rad_m, _ = jax.jit(lambda u, px, py: PP.render_sample(
+            r.scene, flags, u, px, py, jnp.uint32(0), 0))(u, px, py)
+        a = np.stack([np.asarray(c) for c in rad_x], -1)
+        b = np.stack([np.asarray(c) for c in rad_m], -1)
+        diff = np.abs(a - b).max(-1)
+        flips = float((diff > 0.01).mean())
+        keep = diff <= 0.01
+        rmse = float(np.sqrt(np.mean((a - b)[keep] ** 2))) if keep.any() else 1.0
+        check("path megakernel vs XLA integrator", rmse < 1e-3 and flips < 0.01,
+              f"robust rmse {rmse:.2e}, flips {flips:.4f}")
+    else:
+        check("path megakernel support", False, "supports() returned False")
+
+    # --- 4: timing probe ---------------------------------------------------
+    if not args.fast:
+        bench = load_random_spheres(1000)
+        rb = Renderer(bench.scene, width=1920, height=1080)
+        rb.settings.tone_map = "linear"
+        rb.settings.max_frames = 10 ** 9
+        rb.render_frames(2)
+        np.asarray(rb.accumulated())
+        best = 1e9
+        for _ in range(4):
+            t0 = time.perf_counter()
+            rb.render_frames(2)
+            np.asarray(rb.accumulated())
+            best = min(best, (time.perf_counter() - t0) / 2)
+        print(f"timing: 1080p bench frame {best*1000:.1f} ms")
+
+    print("SMOKE", "PASS" if not failures else f"FAIL: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

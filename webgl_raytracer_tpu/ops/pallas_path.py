@@ -34,8 +34,6 @@ XLA integrator path (render/integrator.py), as do distributed renders.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -403,12 +401,13 @@ def _slab_entry_1d(bb_ref, k, o3, d3):
 
 
 def _block_entries_1d(num_k, kpad, bb_ref, o3, d3, active, t_cap=None):
-    """[1, kpad] per-cluster nearest entry over the block's live rays."""
+    """[1, kpad] per-cluster nearest entry over the block's live rays.
+    `active` is an f32 mask (1.0 live)."""
     kio = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
 
     def body(k, ev):
         entry = _slab_entry_1d(bb_ref, k, o3, d3)
-        entry = jnp.where(active, entry, INF)
+        entry = jnp.where(active > 0.0, entry, INF)
         if t_cap is not None:
             entry = jnp.where(entry < t_cap, entry, INF)
         return jnp.where(kio == k, jnp.min(entry), ev)
@@ -425,27 +424,33 @@ def _pop_nearest(ev, kio):
 
 
 def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bb_ref, o3, d3,
-                         t_min, active, types, clip):
+                         t_min, active, types, clip, bt_ref, at_ref):
     """Closest hit over active lanes, returning (t [BLOCK] with BIG miss,
     attrs [BLOCK, 32]) where attrs rows = 16 SoA rows ++ 16 shading rows of
-    the winning primitive, extracted by per-sweep one-hot MXU matmuls."""
+    the winning primitive, extracted by per-sweep one-hot MXU matmuls.
+
+    `active` is an f32 mask (1.0 live). Per-ray state lives in the VMEM
+    scratch refs bt_ref [BLOCK,1] / at_ref [BLOCK,32] — Mosaic's layout
+    pass crashes on vector-valued while_loop carries, so only the worklist
+    row and scalars are loop-carried (same shape discipline as the proven
+    ops/pallas_trace kernels)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1)
     cols = (d3[0][:, None], d3[1][:, None], d3[2][:, None],
             o3[0][:, None], o3[1][:, None], o3[2][:, None], t_min[:, None])
     ev0, kio = _block_entries_1d(num_k, kpad, bb_ref, o3, d3, active)
-    best0 = jnp.where(active, BIG, -BIG)
-    attrs0 = jnp.zeros((BLOCK, 2 * ROWS), jnp.float32)
+    bt_ref[:] = jnp.where(active > 0.0, BIG, -BIG)[:, None]
     # Padding/never-hit lanes must read ptype < 0: bake -1 into column 11.
-    attrs0 = attrs0 - (jax.lax.broadcasted_iota(
+    at_ref[:] = -(jax.lax.broadcasted_iota(
         jnp.int32, (BLOCK, 2 * ROWS), 1) == 11).astype(jnp.float32)
 
     def cond(carry):
         return carry[1] < BIG
 
     def body(carry):
-        ev, _, k, best, attrs = carry
+        ev, _, k = carry
         ts = _prim_ts_cols(cols, soa_ref, k, types, clip)
         tsv = jnp.where(ts > 0.0, ts, BIG)
+        best = bt_ref[:, 0]
         m = jnp.min(tsv, axis=1)
         improved = m < best
         packed = jnp.where(tsv == m[:, None], lane, jnp.int32(2 ** 30))
@@ -455,57 +460,63 @@ def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bb_ref, o3, d3,
         new_attrs = jax.lax.dot_general(
             onehot, table, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                  # [BLOCK, 32]
-        attrs = jnp.where(improved[:, None], new_attrs, attrs)
+        at_ref[:] = jnp.where(improved[:, None], new_attrs, at_ref[:])
         best = jnp.where(improved, m, best)
+        bt_ref[:] = best[:, None]
         ev = jnp.where(kio == k, INF, ev)
         e_next, k_next = _pop_nearest(ev, kio)
         bound = jnp.max(best)
         e_next = jnp.where(e_next < bound, e_next, INF)
-        return ev, e_next, k_next, best, attrs
+        return ev, e_next, k_next
 
     e0, k0 = _pop_nearest(ev0, kio)
-    _, _, _, best, attrs = jax.lax.while_loop(
-        cond, body, (ev0, e0, k0, best0, attrs0))
-    return jnp.where(active, best, BIG), attrs
+    jax.lax.while_loop(cond, body, (ev0, e0, k0))
+    return jnp.where(active > 0.0, bt_ref[:, 0], BIG), at_ref[:]
 
 
 def _trace_any_1d(num_k, kpad, soa_ref, bb_ref, o3, d3, t_min, accept_lo,
-                  active, types, clip):
-    """Occlusion query over active lanes: [BLOCK] bool."""
+                  active, types, clip, fd_ref):
+    """Occlusion query over active lanes (f32 mask): [BLOCK] f32 mask of
+    occluded lanes. fd_ref is an i32 [BLOCK,1] VMEM scratch."""
     cols = (d3[0][:, None], d3[1][:, None], d3[2][:, None],
             o3[0][:, None], o3[1][:, None], o3[2][:, None], t_min[:, None])
     ev0, kio = _block_entries_1d(num_k, kpad, bb_ref, o3, d3, active)
     lo_col = accept_lo[:, None]
-    act_col = active[:, None]
+    act_col = active[:, None] > 0.0
+    fd_ref[:] = jnp.zeros((BLOCK, 1), jnp.int32)
 
     def cond(carry):
         return carry[1] < BIG
 
     def body(carry):
-        ev, _, k, found = carry
+        ev, _, k = carry
         ts = _prim_ts_cols(cols, soa_ref, k, types, clip)
         hit = jnp.any((ts > lo_col) & (ts < BIG) & act_col, axis=1)
-        found = found | hit
+        f = fd_ref[:, 0] | hit.astype(jnp.int32)
+        fd_ref[:] = f[:, None]
         ev = jnp.where(kio == k, INF, ev)
         e_next, k_next = _pop_nearest(ev, kio)
         # Stop when every live lane is occluded.
-        open_ = jnp.any(active & ~found)
+        open_ = jnp.max(active - f.astype(jnp.float32)) > 0.0
         e_next = jnp.where(open_, e_next, INF)
-        return ev, e_next, k_next, found
+        return ev, e_next, k_next
 
     e0, k0 = _pop_nearest(ev0, kio)
-    _, _, _, found = jax.lax.while_loop(
-        cond, body, (ev0, e0, k0, jnp.zeros((BLOCK,), bool)))
-    return found & active
+    jax.lax.while_loop(cond, body, (ev0, e0, k0))
+    return fd_ref[:, 0].astype(jnp.float32) * active
 
 
 # --------------------------------------------------------------------------
 # Parameter vector layout (host <-> kernel contract).
 
-def _pack_params(u):
+def _pack_params(u, light_order=(0, 1, 2)):
     """f32 parameter vector for SMEM, built with jnp so it traces under jit
     (uniforms are device values). Layout documented inline; indices are the
-    kernel-side contract."""
+    kernel-side contract. `light_order` permutes the 3 light blocks so the
+    ENABLED lights come first — the kernel's light loop is a fori over the
+    first n_enabled blocks with dynamic SMEM offsets, which keeps one copy
+    of the shadow/shading code in the program while preserving the XLA
+    integrator's RNG draw order (enabled lights in index order)."""
     f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
     ld = f32(u.light_dir).reshape(3, 3)
     la = f32(u.light_angle).reshape(3)
@@ -517,7 +528,7 @@ def _pack_params(u):
     l_pdf = 1.0 / jnp.maximum(TWO_PI * (1.0 - cos_max), 1e-6)
     lights = jnp.concatenate(
         [jnp.concatenate([axis[i], lc[i], li[i:i + 1], cos_max[i:i + 1],
-                          l_pdf[i:i + 1]]) for i in range(3)])   # [27] @14
+                          l_pdf[i:i + 1]]) for i in light_order])  # [27] @14
     scalars = jnp.stack([
         f32(u.ray_bias), f32(u.t_min), f32(u.metallic), f32(u.roughness),
         f32(u.rim_boost), f32(u.matte_specular), f32(u.matte_roughness),
@@ -545,13 +556,23 @@ def _make_path_kernel(flags_key, types, kpad):
     """Build the megakernel body. flags_key is the static-config tuple
     (material_mode, use_imported_color, cast_shadows, max_bounces,
     light_enabled, rim_enabled, dof_enabled, clip_enabled,
-    surface_flag_mode, with_stats)."""
+    surface_flag_mode, with_stats).
+
+    All per-ray state lives in VMEM scratch refs and every conditional is a
+    pl.when over a scalar — Mosaic's layout pass cannot handle vector-valued
+    lax.cond/while carries, so the bounce loop mutates refs instead of
+    threading carries (the proven shape discipline of ops/pallas_trace).
+
+    State-ref row layout (st_ref [16, BLOCK] f32): origin 0-2, direction
+    3-5, throughput 6-8, radiance 9-11, last_pdf 12, alive mask 13.
+    si_ref [2, BLOCK] i32: PCG state 0, traced-ray count 1."""
     (material_mode, use_imported_color, cast_shadows, max_bounces,
      light_enabled, rim_enabled, dof_enabled, clip_enabled,
      surface_flag_mode, with_stats) = flags_key
 
     def kernel(num_k_ref, ints_ref, params_ref, px_ref, py_ref,
-               soa_ref, attr_ref, bb_ref, r_out, g_out, b_out, n_out):
+               soa_ref, attr_ref, bb_ref, r_out, g_out, b_out, n_out,
+               st_ref, si_ref, bt_ref, at_ref, fd_ref):
         num_k = num_k_ref[0]
         frame = ints_ref[0]
         sample = ints_ref[1]
@@ -559,6 +580,14 @@ def _make_path_kernel(flags_key, types, kpad):
 
         def p3(i):
             return (P[i], P[i + 1], P[i + 2])
+
+        def get3(row):
+            return (st_ref[row, :], st_ref[row + 1, :], st_ref[row + 2, :])
+
+        def put3(row, v):
+            st_ref[row, :] = v[0]
+            st_ref[row + 1, :] = v[1]
+            st_ref[row + 2, :] = v[2]
 
         # --- camera ray generation (webgl.js:1508-1544) -------------------
         px = px_ref[:]
@@ -578,6 +607,7 @@ def _make_path_kernel(flags_key, types, kpad):
                     fwd[1] + uvx * right[1] + uvy * up[1],
                     fwd[2] + uvx * right[2] + uvy * up[2]))
         ones = jnp.ones((BLOCK,), jnp.float32)
+        zero = jnp.zeros((BLOCK,), jnp.float32)
         o = (P[0] * ones, P[1] * ones, P[2] * ones)
 
         if dof_enabled:
@@ -597,30 +627,47 @@ def _make_path_kernel(flags_key, types, kpad):
                  o[2] + right_n[2] * lx + up_n[2] * ly)
             d = _norm3((focus[0] - o[0], focus[1] - o[1], focus[2] - o[2]))
 
+        put3(0, o)
+        put3(3, d)
+        put3(6, (ones, ones, ones))
+        put3(9, (zero, zero, zero))
+        st_ref[12, :] = zero            # last_pdf
+        st_ref[13, :] = ones            # alive mask
+        si_ref[0, :] = seed
+        si_ref[1, :] = jnp.zeros((BLOCK,), jnp.int32)
+
         bias = jnp.maximum(P[44], 1e-4)
         t_min = P[45] * ones
         clip = ((P[58], P[59], P[60]), P[61], P[62]) if clip_enabled else None
         ambient = p3(41)
 
-        zero = jnp.zeros((BLOCK,), jnp.float32)
-
-        def bounce_body(bounce, carry):
-            (seed, o, d, tp, rad, last_pdf, alive, nrays) = carry
+        def run_bounce(bounce):
+            o = get3(0)
+            d = get3(3)
+            alive = st_ref[13, :]
             if with_stats:
-                nrays = nrays + alive.astype(jnp.int32)
+                si_ref[1, :] = si_ref[1, :] + (alive > 0.0).astype(jnp.int32)
             t, attrs = _trace_closest_attrs(
                 num_k, kpad, soa_ref, attr_ref, bb_ref, o, d, t_min, alive,
-                types, clip)
+                types, clip, bt_ref, at_ref)
             hit = attrs[:, 11] >= 0.0
 
-            # --- miss -> ambient (no env on this path), then cull ---------
-            miss = alive & ~hit
-            rad = tuple(jnp.where(miss, rad[c] + tp[c] * ambient[c], rad[c])
-                        for c in range(3))
-            alive = alive & hit
+            # --- miss -> ambient (no env on this path), then cull ----------
+            tp = get3(6)
+            miss = (alive > 0.0) & ~hit
+            for c in range(3):
+                st_ref[9 + c, :] = jnp.where(
+                    miss, st_ref[9 + c, :] + tp[c] * ambient[c],
+                    st_ref[9 + c, :])
+            alive = jnp.where(hit, alive, 0.0)
+            st_ref[13, :] = alive
 
-            def shade(args):
-                (seed, o, d, tp, rad, last_pdf, alive, nrays) = args
+            @pl.when(jnp.max(alive) > 0.0)
+            def _shade():
+                tp = get3(6)
+                seed = si_ref[0, :]
+                last_pdf = st_ref[12, :]
+                alive_b = st_ref[13, :] > 0.0
                 pos = _add3(o, _scale3(d, jnp.where(hit, t, 0.0)))
                 ptype = attrs[:, 11]
                 pa = (attrs[:, 0], attrs[:, 1], attrs[:, 2])
@@ -687,6 +734,8 @@ def _make_path_kernel(flags_key, types, kpad):
                 else:
                     base = (P[63] * ones, P[64] * ones, P[65] * ones)
                 v = (-d[0], -d[1], -d[2])
+                o_new = o
+                d_new = d
 
                 # --- glass / translucent (webgl.js:1276-1313) --------------
                 transmit = jnp.zeros((BLOCK,), bool)
@@ -698,7 +747,7 @@ def _make_path_kernel(flags_key, types, kpad):
                             glass_lane = glass_lane & (attrs[:, _A_FLAG] > 0.5)
                     else:
                         glass_lane = jnp.ones((BLOCK,), bool)
-                    transmit = alive & glass_lane & (r_op >= P[55])
+                    transmit = alive_b & glass_lane & (r_op >= P[55])
 
                     cosi = jnp.clip(-_dot3(d, n_geom), 0.0, 1.0)
                     ior = jnp.maximum(P[53], 1e-3)
@@ -720,8 +769,8 @@ def _make_path_kernel(flags_key, types, kpad):
                         trans_rough = jnp.clip(P[47], 0.02, 1.0)
                         rr_ = _norm3(_reflect3(d, n_geom))
                         phi = TWO_PI * b1
-                        cos_t = jnp.power(1.0 - b2,
-                                          1.0 / (trans_rough * 4.0 + 1.0))
+                        cos_t = jnp.exp(jnp.log(jnp.maximum(1.0 - b2, 1e-20))
+                                        / (trans_rough * 4.0 + 1.0))
                         sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
                         blurred = _to_world(rr_, jnp.cos(phi) * sin_t,
                                             jnp.sin(phi) * sin_t, cos_t)
@@ -740,23 +789,24 @@ def _make_path_kernel(flags_key, types, kpad):
                     else:
                         refl_dir = _norm3(_reflect3(d, n_geom))
                         refr_dir = _norm3(refr)
-                    new_dir = _where3(do_reflect, refl_dir, refr_dir)
-                    new_o = _where3(do_reflect,
-                                    _add3(pos, _scale3(n_geom, bias)),
-                                    (pos[0] - n_geom[0] * bias,
-                                     pos[1] - n_geom[1] * bias,
-                                     pos[2] - n_geom[2] * bias))
+                    tdir = _where3(do_reflect, refl_dir, refr_dir)
+                    t_o = _where3(do_reflect,
+                                  _add3(pos, _scale3(n_geom, bias)),
+                                  (pos[0] - n_geom[0] * bias,
+                                   pos[1] - n_geom[1] * bias,
+                                   pos[2] - n_geom[2] * bias))
                     tint = (1.0 + (base[0] - 1.0) * P[54],
                             1.0 + (base[1] - 1.0) * P[54],
                             1.0 + (base[2] - 1.0) * P[54])
                     tmask = transmit & ~do_reflect
                     tp = tuple(jnp.where(tmask, tp[c] * tint[c], tp[c])
                                for c in range(3))
-                    o = _where3(transmit, new_o, o)
-                    d = _where3(transmit, new_dir, d)
+                    o_new = _where3(transmit, t_o, o_new)
+                    d_new = _where3(transmit, tdir, d_new)
                     last_pdf = jnp.where(transmit, 0.0, last_pdf)
 
-                shade_lane = alive & ~transmit
+                shade_lane = alive_b & ~transmit
+                shade_f = shade_lane.astype(jnp.float32)
 
                 # --- material params (webgl.js:1097-1102) -----------------
                 use_matte = material_mode == 1
@@ -771,16 +821,27 @@ def _make_path_kernel(flags_key, types, kpad):
                 diff_rough = P[51] if use_matte else np.float32(0.0)
                 wrap = P[52] if use_matte else np.float32(0.0)
 
-                # --- 3 cone lights + shadows + MIS (webgl.js:1094-1145) ---
-                direct = (zero, zero, zero)
+                # --- cone lights + shadows + MIS (webgl.js:1094-1145) -----
+                # ONE fori over the enabled lights (packed first by
+                # _pack_params) with dynamic SMEM offsets: a single copy of
+                # the shadow-trace + shading code in the program regardless
+                # of light count, which is what keeps Mosaic compile time
+                # sane. RNG draws ride si_ref[0] so the loop carries only
+                # the index (vector while/fori carries crash Mosaic).
                 shadow_min = jnp.maximum(bias, P[45]) * ones
                 shadow_o = _add3(pos, _scale3(n_geom, bias))
-                spec_prob_l = None
-                for i in range(3):
-                    if not light_enabled[i]:
-                        continue
-                    seed, l1, l2 = _rand2(seed)
-                    base_i = 14 + i * 9
+                spec_w_l = _max3(f0)
+                diff_w_l = (1.0 - metallic) * _max3(base)
+                sumw_l = spec_w_l + diff_w_l
+                spec_prob_l = jnp.where(
+                    sumw_l > 0.0, spec_w_l / jnp.maximum(sumw_l, 1e-12), 0.5)
+                si_ref[0, :] = seed
+
+                def light_body(j, carry):
+                    seed_l = si_ref[0, :]
+                    seed_l, l1, l2 = _rand2(seed_l)
+                    si_ref[0, :] = seed_l
+                    base_i = 14 + 9 * j
                     axis = (P[base_i] * ones, P[base_i + 1] * ones,
                             P[base_i + 2] * ones)
                     cmx = P[base_i + 7]
@@ -791,17 +852,18 @@ def _make_path_kernel(flags_key, types, kpad):
                                      jnp.sin(phi) * sin_t, cos_t)
                     l_pdf = P[base_i + 8]
                     ndl = jnp.maximum(_dot3(sn, ldir), 0.0)
-                    candidate = shade_lane & (ndl > 0.0)
+                    candidate = shade_f * (ndl > 0.0).astype(jnp.float32)
                     if cast_shadows:
                         if with_stats:
-                            nrays = nrays + candidate.astype(jnp.int32)
+                            si_ref[1, :] = (si_ref[1, :]
+                                            + candidate.astype(jnp.int32))
                         occ = _trace_any_1d(num_k, kpad, soa_ref, bb_ref,
                                             shadow_o, ldir, t_min,
                                             shadow_min, candidate, types,
-                                            clip)
-                        lit = candidate & ~occ
+                                            clip, fd_ref)
+                        lit = (candidate > 0.0) & (occ <= 0.0)
                     else:
-                        lit = candidate
+                        lit = candidate > 0.0
                     h = _norm3(_add3(v, ldir))
                     ndv = jnp.maximum(_dot3(sn, v), 0.001)
                     ndh = jnp.maximum(_dot3(sn, h), 0.001)
@@ -812,33 +874,35 @@ def _make_path_kernel(flags_key, types, kpad):
                     ks = (dd * g) / jnp.maximum(4.0 * ndv * ndl, 0.001)
                     diff = _eval_diffuse(sn, v, ldir, base, diff_rough, wrap,
                                          material_mode == 1)
-                    if spec_prob_l is None:
-                        spec_w = _max3(f0)
-                        diff_w = (1.0 - metallic) * _max3(base)
-                        sumw = spec_w + diff_w
-                        spec_prob_l = jnp.where(
-                            sumw > 0.0, spec_w / jnp.maximum(sumw, 1e-12), 0.5)
                     pdf_b = _brdf_pdf(sn, v, ldir, rough, spec_prob_l)
                     mis = _power_heuristic(l_pdf, pdf_b)
                     w = ndl * mis / jnp.maximum(l_pdf, 1e-6) * P[base_i + 6]
-                    direct = tuple(
-                        jnp.where(
-                            lit,
-                            direct[c] + (fr[c] * ks + diff[c] * (1.0 - metallic)
-                                         * (1.0 - fr[c])) * P[base_i + 3 + c] * w,
-                            direct[c])
-                        for c in range(3))
-                rad = tuple(jnp.where(shade_lane, rad[c] + tp[c] * direct[c],
-                                      rad[c]) for c in range(3))
+                    # lit implies shade_lane, so gating the radiance add by
+                    # lit alone matches the original shade_lane-gated
+                    # accumulate of the summed `direct`.
+                    for c in range(3):
+                        contrib = ((fr[c] * ks + diff[c] * (1.0 - metallic)
+                                    * (1.0 - fr[c])) * P[base_i + 3 + c] * w)
+                        st_ref[9 + c, :] = jnp.where(
+                            lit, st_ref[9 + c, :] + tp[c] * contrib,
+                            st_ref[9 + c, :])
+                    return carry
 
-                # --- rim boost (webgl.js:1326-1331) -----------------------
-                if rim_enabled and material_mode == 0 and bounce == 0:
+                n_lights = sum(1 for e in light_enabled if e)
+                if n_lights:
+                    jax.lax.fori_loop(0, n_lights, light_body, 0)
+                seed = si_ref[0, :]
+
+                # --- rim boost, primary hit only (webgl.js:1326-1331) -----
+                if rim_enabled and material_mode == 0:
                     ndv = jnp.maximum(_dot3(sn, v), 0.0)
                     omv = 1.0 - ndv
-                    rim = omv * omv * omv * P[48]
-                    rad = tuple(jnp.where(shade_lane,
-                                          rad[c] + tp[c] * base[c] * rim,
-                                          rad[c]) for c in range(3))
+                    rim = (omv * omv * omv * P[48]
+                           * jnp.where(bounce == 0, 1.0, 0.0))
+                    for c in range(3):
+                        st_ref[9 + c, :] = jnp.where(
+                            shade_lane, st_ref[9 + c, :] + tp[c] * base[c] * rim,
+                            st_ref[9 + c, :])
 
                 # --- BRDF sampling (webgl.js:1387-1429) -------------------
                 spec_w = _max3(f0)
@@ -883,7 +947,7 @@ def _make_path_kernel(flags_key, types, kpad):
                                diff_brdf[2] * kd)
                 diff_last_pdf = (1.0 - spec_prob) * ndl_d / PI
 
-                new_dir = _where3(choose_spec, spec_dir, diff_dir)
+                bounce_dir = _where3(choose_spec, spec_dir, diff_dir)
                 weight = _where3(choose_spec, spec_weight, diff_weight)
                 dead_spec = choose_spec & (ndl_s <= 0.0)
 
@@ -893,46 +957,55 @@ def _make_path_kernel(flags_key, types, kpad):
                 tscale = jnp.where(mx > 10.0, 10.0 / jnp.maximum(mx, 1e-12),
                                    1.0)
                 tp = tuple(tp[c] * tscale for c in range(3))
-                o = _where3(shade_lane, _add3(pos, _scale3(n_geom, bias)), o)
-                d = _where3(shade_lane, new_dir, d)
+                o_new = _where3(shade_lane,
+                                _add3(pos, _scale3(n_geom, bias)), o_new)
+                d_new = _where3(shade_lane, bounce_dir, d_new)
                 last_pdf = jnp.where(
                     shade_lane,
                     jnp.where(choose_spec, spec_last_pdf, diff_last_pdf),
                     last_pdf)
 
-                # --- Russian roulette (webgl.js:1434-1441) ----------------
+                # --- Russian roulette from bounce 1 (webgl.js:1434-1441) --
+                # `bounce` is a traced scalar (the bounce loop is a
+                # while_loop), so the draw-or-not decision is a scalar
+                # select: at bounce 0 the state does NOT advance and no
+                # kill/boost applies, matching the XLA integrator's stream.
                 seed2, rr = _rand(seed)
-                if bounce >= 1:
-                    seed = seed2
-                    p = jnp.clip(_max3(tp), 0.05, 0.95)
-                    rr_kill = shade_lane & (rr > p)
-                    boost = jnp.where(shade_lane, 1.0 / p, 1.0)
-                    tp = tuple(tp[c] * boost for c in range(3))
-                else:
-                    rr_kill = jnp.zeros((BLOCK,), bool)
+                later = bounce >= 1
+                seed = jnp.where(later, seed2, seed)
+                p = jnp.clip(_max3(tp), 0.05, 0.95)
+                rr_kill = shade_lane & (rr > p) & later
+                boost = jnp.where(shade_lane & later, 1.0 / p, 1.0)
+                tp = tuple(tp[c] * boost for c in range(3))
 
                 alive2 = transmit | (shade_lane & ~dead_spec & ~rr_kill)
-                return (seed, o, d, tp, rad, last_pdf, alive2, nrays)
+                put3(0, o_new)
+                put3(3, d_new)
+                put3(6, tp)
+                st_ref[12, :] = last_pdf
+                st_ref[13, :] = alive2.astype(jnp.float32)
+                si_ref[0, :] = seed
 
-            return jax.lax.cond(jnp.any(alive), shade,
-                                lambda a: a,
-                                (seed, o, d, tp, rad, last_pdf, alive, nrays))
+        # ONE copy of the bounce body in the program: a while_loop over the
+        # bounce index with scalar-only carries (all vector state lives in
+        # the scratch refs). Early-exits when every lane in the block has
+        # died — the in-kernel replacement for the block-compaction pass.
+        def bounce_cond(c):
+            b, alive_any = c
+            return (b < max_bounces) & (alive_any > 0.0)
 
-        carry = (seed, o, d, (ones, ones, ones), (zero, zero, zero),
-                 zero, jnp.ones((BLOCK,), bool), jnp.zeros((BLOCK,), jnp.int32))
-        for bounce in range(max_bounces):
-            if bounce == 0:
-                carry = bounce_body(bounce, carry)
-            else:
-                carry = jax.lax.cond(jnp.any(carry[6]),
-                                     functools.partial(bounce_body, bounce),
-                                     lambda c: c, carry)
+        def bounce_step(c):
+            b, _ = c
+            run_bounce(b)
+            return b + 1, jnp.max(st_ref[13, :])
 
-        rad = carry[4]
-        r_out[:] = jnp.minimum(rad[0], 100.0)
-        g_out[:] = jnp.minimum(rad[1], 100.0)
-        b_out[:] = jnp.minimum(rad[2], 100.0)
-        n_out[:] = carry[7]
+        jax.lax.while_loop(bounce_cond, bounce_step,
+                           (jnp.int32(0), jnp.float32(1.0)))
+
+        r_out[:] = jnp.minimum(st_ref[9, :], 100.0)
+        g_out[:] = jnp.minimum(st_ref[10, :], 100.0)
+        b_out[:] = jnp.minimum(st_ref[11, :], 100.0)
+        n_out[:] = si_ref[1, :]
 
     return kernel
 
@@ -1023,7 +1096,11 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
                           jnp.asarray(scene.cluster_bmax, jnp.float32),
                           jnp.zeros((k, 2), jnp.float32)], axis=1)
 
-    params = _pack_params(u)
+    # Enabled lights packed first so the kernel's light fori only walks
+    # them (RNG order preserved: enabled lights in index order).
+    order = tuple(i for i in range(3) if flags.light_enabled[i]) + tuple(
+        i for i in range(3) if not flags.light_enabled[i])
+    params = _pack_params(u, light_order=order)
     ints = jnp.stack(
         [jnp.asarray(frame_index).astype(jnp.int32),
          jnp.asarray(sample_index, jnp.int32)])
@@ -1049,12 +1126,25 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
         ],
         out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
                    for _ in range(4)],
+        scratch_shapes=[
+            pltpu.VMEM((16, BLOCK), jnp.float32),   # st: per-ray path state
+            pltpu.VMEM((2, BLOCK), jnp.int32),      # si: PCG state + ray count
+            pltpu.VMEM((BLOCK, 1), jnp.float32),    # bt: traversal best-t
+            pltpu.VMEM((BLOCK, 32), jnp.float32),   # at: winner attributes
+            pltpu.VMEM((BLOCK, 1), jnp.int32),      # fd: any-hit found
+        ],
     )
     r, g, b, nrays = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((n_pad,), jnp.int32)],
+        # The traversal sweeps keep ~30 MB of [BLOCK,128] intermediates
+        # live; the default 16 MB scoped-vmem budget rejects the kernel at
+        # compile time. v5e VMEM is 128 MB and the explicit operands are
+        # ≤10 MB at MAX_CLUSTERS_PATH, so give Mosaic most of the rest.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.array([k], jnp.int32), ints, params, px_i, py_i, soa16, attr, bb)
     radiance = (r[:n], g[:n], b[:n])

@@ -74,10 +74,12 @@ def _slab_entry(bb, k, od):
     return jnp.where(hit, jnp.maximum(tn, 0.0), INF)
 
 
-def _prim_ts(a_blk, soa_ref, k, types):
+def _prim_ts(a_blk, soa_ref, k, types, clip=None):
     """[BLOCK, C] candidate hit distances for cluster k (-1 = no hit).
     Same per-type math as ops/wavefront.intersect_soa_t; `types` is the
-    static (has_spheres, has_cylinders, has_triangles) triple."""
+    static (has_spheres, has_cylinders, has_triangles) triple; `clip` is
+    None or ((nx, ny, nz), offset, side) scalars — triangle hits on the
+    clipped side are rejected (webgl.js:384-390)."""
     has_sph, has_cyl, has_tri = types
 
     def row(i):
@@ -206,6 +208,13 @@ def _prim_ts(a_blk, soa_ref, k, types):
         tt = (e2x * qx + e2y * qy + e2z * qz) * inv
         okt &= (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > tmin)
         tt = jnp.where(okt, tt, -1.0)
+        if clip is not None:
+            (cnx, cny, cnz), coff, cside = clip
+            hx = ox + dx * tt
+            hy = oy + dy * tt
+            hz = oz + dz * tt
+            s = hx * cnx + hy * cny + hz * cnz - coff
+            tt = jnp.where(s * cside > 0.0, -1.0, tt)
         t = jnp.where(ptype == PRIM_TRIANGLE, tt, t)
 
     return t
@@ -236,12 +245,14 @@ def _pop_nearest(ev, kio):
     return m, idx
 
 
-def _make_closest_kernel(types, kpad):
-    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bb_ref, t_out, row_out,
-               bt_ref, bk_ref):
+def _make_closest_kernel(types, kpad, clip_on=False):
+    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bb_ref, cp_ref, t_out,
+               row_out, bt_ref, bk_ref):
         a_blk = a_ref[:]
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
         num_k = num_k_ref[0]
+        clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
+                if clip_on else None)
         bt_ref[:] = jnp.full((BLOCK, 128), BIG, jnp.float32)
         bk_ref[:] = jnp.zeros((BLOCK, 128), jnp.int32)
         ev0, kio = _block_entries(num_k, kpad, bb_ref, od)
@@ -251,7 +262,7 @@ def _make_closest_kernel(types, kpad):
 
         def body(carry):
             ev, _, k = carry
-            ts = _prim_ts(a_blk, soa_ref, k, types)
+            ts = _prim_ts(a_blk, soa_ref, k, types, clip)
             bt = bt_ref[:]
             upd = (ts > 0.0) & (ts < bt)
             bt = jnp.where(upd, ts, bt)
@@ -280,8 +291,8 @@ def _make_closest_kernel(types, kpad):
     return kernel
 
 
-def _make_any_kernel(types, kpad):
-    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bb_ref, found_out,
+def _make_any_kernel(types, kpad, clip_on=False):
+    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bb_ref, cp_ref, found_out,
                found_ref):
         a_blk = a_ref[:]
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
@@ -289,6 +300,8 @@ def _make_any_kernel(types, kpad):
         lo_col = a_blk[:, 7:8]
         hi_col = a_blk[:, 8:9]
         num_k = num_k_ref[0]
+        clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
+                if clip_on else None)
         found_ref[:] = jnp.zeros((BLOCK,), jnp.int32)
         ev0, kio = _block_entries(num_k, kpad, bb_ref, od, t_cap=t_hi)
 
@@ -297,7 +310,7 @@ def _make_any_kernel(types, kpad):
 
         def body(carry):
             ev, _, k = carry
-            ts = _prim_ts(a_blk, soa_ref, k, types)
+            ts = _prim_ts(a_blk, soa_ref, k, types, clip)
             hit = jnp.any((ts > lo_col) & (ts < hi_col), axis=1)
             f = found_ref[:] | hit.astype(jnp.int32)
             found_ref[:] = f
@@ -361,7 +374,8 @@ def _ray_operands(o3, d3, t_min, accept_lo, t_hi, mid, n_pad, active=None):
     return a, od
 
 
-def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bb, interpret):
+def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bb, cp,
+               interpret):
     nb = n_pad // BLOCK
     if is_closest:
         scratch = [pltpu.VMEM((BLOCK, 128), jnp.float32),
@@ -376,6 +390,7 @@ def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bb, interpret):
             pl.BlockSpec((8, BLOCK), lambda i, s: (0, i)),
             pl.BlockSpec((k * ROWS, 128), lambda i, s: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
                    for _ in outs],
@@ -386,7 +401,7 @@ def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bb, interpret):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), dt) for dt in outs],
         interpret=interpret,
-    )(jnp.array([k], jnp.int32), a, od, soa, bb)
+    )(jnp.array([k], jnp.int32), a, od, soa, bb, cp)
 
 
 # With only a handful of clusters the XLA dense sweep has no culling to
@@ -397,9 +412,10 @@ MIN_CLUSTERS = 4
 
 
 def supports(scene, clip) -> bool:
-    """Scene/trace shapes this kernel handles."""
-    return (clip is None
-            and MIN_CLUSTERS <= scene.num_clusters <= MAX_CLUSTERS
+    """Scene/trace shapes this kernel handles. Clip planes are applied
+    in-kernel (triangle rejection in _prim_ts), so they no longer force
+    the XLA path."""
+    return (MIN_CLUSTERS <= scene.num_clusters <= MAX_CLUSTERS
             and scene.cluster_size == 128)
 
 
@@ -408,19 +424,35 @@ def _types(scene):
             scene.tri_count > 0)
 
 
-def trace_closest(scene, o3, d3, t_min, active=None, interpret=False):
+def _clip_operand(clip, mid):
+    """Clip scalars shifted into scene-centered coordinates: the plane
+    n.x = off becomes n.(x - mid) = off - n.mid."""
+    if clip is None:
+        return jnp.zeros(8, jnp.float32), False
+    normal, offset, side = clip
+    normal = jnp.asarray(normal, jnp.float32).reshape(3)
+    off_c = jnp.asarray(offset, jnp.float32) - jnp.dot(normal, mid)
+    return jnp.concatenate([
+        normal, off_c.reshape(1), jnp.asarray(side, jnp.float32).reshape(1),
+        jnp.zeros(3, jnp.float32)]), True
+
+
+def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
+                  interpret=False):
     """Closest hit. Returns (closest [N] f32 with BIG for miss, best_row
     [N] i32 with -1 for miss) matching ops/wavefront._dense_trace's
     accumulator outputs."""
     n = o3[0].shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
     soa, bb, mid = _scene_operands(scene)
+    cp, clip_on = _clip_operand(clip, mid)
     a, od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
                           jnp.full((n,), BIG), mid, n_pad, active=active)
     t, row = _grid_call(
-        _make_closest_kernel(_types(scene), _kpad(scene.num_clusters)),
+        _make_closest_kernel(_types(scene), _kpad(scene.num_clusters),
+                             clip_on),
         True, n_pad, scene.num_clusters, (jnp.float32, jnp.int32),
-        a, od, soa, bb, interpret)
+        a, od, soa, bb, cp, interpret)
     closest = t[:n]
     best_row = row[:n]
     if active is not None:
@@ -429,8 +461,8 @@ def trace_closest(scene, o3, d3, t_min, active=None, interpret=False):
     return closest, best_row
 
 
-def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, active=None,
-              interpret=False):
+def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
+              active=None, interpret=False):
     """Any hit with t in (accept_min, t_max) — the shadow-ray predicate of
     ops/wavefront._dense_trace."""
     n = o3[0].shape[0]
@@ -441,11 +473,12 @@ def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, active=None,
         lo = jnp.broadcast_to(jnp.asarray(accept_min, jnp.float32), (n,))
     hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     soa, bb, mid = _scene_operands(scene)
+    cp, clip_on = _clip_operand(clip, mid)
     a, od = _ray_operands(o3, d3, t_min, lo, hi, mid, n_pad, active=active)
     (found,) = _grid_call(
-        _make_any_kernel(_types(scene), _kpad(scene.num_clusters)),
+        _make_any_kernel(_types(scene), _kpad(scene.num_clusters), clip_on),
         False, n_pad, scene.num_clusters, (jnp.int32,),
-        a, od, soa, bb, interpret)
+        a, od, soa, bb, cp, interpret)
     found = found[:n] != 0
     if active is not None:
         found = found & active

@@ -784,6 +784,15 @@ def _wf_trace_flat(scene, o3, d3, t_min, clip, any_hit, accept_min,
                          best_row, cost=cost)
 
 
+def pallas_forced_interpret() -> bool:
+    """WRT_PALLAS_INTERPRET=1 routes eligible traces through the Pallas
+    kernels in interpreter mode on non-TPU backends — how dryrun_multichip
+    exercises the kernel code path on the virtual CPU mesh."""
+    import os
+
+    return bool(os.environ.get("WRT_PALLAS_INTERPRET"))
+
+
 def _pallas_auto(scene, clip, use_pallas):
     """Route eligible scenes through the fused Pallas traversal kernel on
     TPU (ops/pallas_trace.py). jax.default_backend() is resolved at trace
@@ -792,7 +801,8 @@ def _pallas_auto(scene, clip, use_pallas):
         return False
     from . import pallas_trace as PS
 
-    return PS.supports(scene, clip) and jax.default_backend() == "tpu"
+    return PS.supports(scene, clip) and (jax.default_backend() == "tpu"
+                                         or pallas_forced_interpret())
 
 
 def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
@@ -811,8 +821,9 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
     if _pallas_auto(scene, clip, use_pallas):
         from . import pallas_trace as PS
 
-        closest, best_row = PS.trace_closest(scene, o3, d3, t_min,
-                                             active=active)
+        closest, best_row = PS.trace_closest(scene, o3, d3, t_min, clip=clip,
+                                             active=active,
+                                             interpret=pallas_forced_interpret())
         if scene.sphere_count:
             # Recompute sphere winners' t with the quadratic in GLOBAL
             # coordinates — one [B]-wide pass that removes the kernel's
@@ -865,7 +876,8 @@ def wf_trace_any_v3(scene, o3, d3, t_min, t_max=BIG, accept_min=None,
         from . import pallas_trace as PS
 
         return PS.trace_any(scene, o3, d3, t_min, t_max=t_max,
-                            accept_min=accept_min, active=active)
+                            accept_min=accept_min, clip=clip, active=active,
+                            interpret=pallas_forced_interpret())
     if k <= DENSE_MAX_CLUSTERS or n % TILE != 0 or n < TILE:
         if k <= TILE_MAX_CLUSTERS:
             return _dense_trace(scene, o3, d3, t_min, clip,

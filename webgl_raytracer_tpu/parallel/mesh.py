@@ -72,6 +72,58 @@ def render_tiles_sharded(render_fn, mesh: Mesh, scene, env, vol, flags, uniforms
     return out[:n]
 
 
+@partial(jax.jit, static_argnames=("flags", "mesh", "axis_name", "count"))
+def _render_frames_tiles(scene, env, vol, flags, uniforms, px, py, start_frame,
+                         prev, mesh, axis_name, count):
+    """`count` progressive frames with rays sharded over the mesh and the
+    FULL single-chip integrator running on every device via shard_map —
+    including the Pallas traversal/path kernels. GSPMD cannot partition a
+    pallas_call, so the plain-jit distributed mode forces the XLA path;
+    inside shard_map each device sees an ordinary local ray batch and keeps
+    the kernel rate. Scene/env/volume are closed over (replicated); only
+    the ray axis is split. No collectives — the accumulator stays sharded
+    until readout, exactly like the GSPMD tile mode."""
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..render.integrator import render_batch
+
+    local_flags = dataclasses.replace(flags, distributed=False)
+
+    def body(px_l, py_l, prev_l):
+        def step(accum, k):
+            frame_index = start_frame + k
+            color = render_batch(scene, env, vol, local_flags, uniforms,
+                                 px_l, py_l, frame_index.astype(jnp.uint32))
+            fi = frame_index.astype(jnp.float32)
+            accum = jnp.where(frame_index == 0, color,
+                              (accum * fi + color) / (fi + 1.0))
+            return accum, None
+
+        accum, _ = jax.lax.scan(step, prev_l,
+                                jnp.arange(count, dtype=jnp.int32))
+        return accum
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_rep=False,
+    )
+    return fn(px, py, prev)
+
+
+def render_frames_tiles(mesh, scene, env, vol, flags, uniforms, px, py,
+                        start_frame, prev, count, axis_name: str = "tiles"):
+    """Public wrapper: pads nothing — callers guarantee the ray count is
+    divisible by the mesh size (Renderer's 16-px tile snapping does)."""
+    return _render_frames_tiles(scene, env, vol, flags, uniforms, px, py,
+                                jnp.int32(start_frame), prev, mesh, axis_name,
+                                int(count))
+
+
 @partial(jax.jit, static_argnames=("flags", "mesh", "axis_name"))
 def _render_spp_sharded(scene, env, vol, flags, uniforms, px, py, frame_index,
                         mesh, axis_name):

@@ -251,6 +251,10 @@ class Renderer:
             self.frame_index = 1
             return True
 
+        if self._use_tile_shard_map():
+            self._render_tiles(flags, uniforms, px, py, 1)
+            return True
+
         color = render_batch(
             self.scene, self.env, self.volume, flags, uniforms, px, py,
             jnp.uint32(self.frame_index),
@@ -261,6 +265,24 @@ class Renderer:
             self._accum = _accumulate(self._accum, color, jnp.uint32(self.frame_index))
         self.frame_index += 1
         return True
+
+    def _use_tile_shard_map(self) -> bool:
+        """Multi-chip frames run the full single-chip integrator per device
+        under shard_map (parallel/mesh.py render_frames_tiles), keeping the
+        Pallas kernel rate; requires the ray count to split evenly."""
+        return (self.mesh is not None
+                and (self.width * self.height) % self.mesh.devices.size == 0)
+
+    def _render_tiles(self, flags, uniforms, px, py, count: int) -> None:
+        from ..parallel.mesh import render_frames_tiles
+
+        prev = (self._accum if self._accum is not None and self.frame_index > 0
+                else jnp.zeros((self.width * self.height, 3), jnp.float32))
+        self._accum = render_frames_tiles(
+            self.mesh, self.scene, self.env, self.volume, flags, uniforms,
+            px, py, self.frame_index, prev, count,
+        )
+        self.frame_index += count
 
     def render_frames(self, count: int) -> bool:
         """Trace `count` progressive frames in ONE device program (fused
@@ -289,6 +311,9 @@ class Renderer:
             distributed=self.mesh is not None,
         )
         px, py = self._pixel_grids()
+        if self._use_tile_shard_map():
+            self._render_tiles(flags, uniforms, px, py, count)
+            return True
         prev = (self._accum if self._accum is not None and self.frame_index > 0
                 else jnp.zeros((self.width * self.height, 3), jnp.float32))
         self._accum = _render_frames_fused(

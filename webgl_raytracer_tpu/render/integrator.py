@@ -682,14 +682,20 @@ def _tile_permutation(hit, g):
 
 def _use_megakernel(scene, env, vol, flags):
     """Route eligible frames through the single-launch path megakernel
-    (ops/pallas_path.py) on TPU. Opt out with WRT_NO_MEGAKERNEL=1."""
+    (ops/pallas_path.py). Opt-in via WRT_MEGAKERNEL=1: measured on TPU v5e
+    (tools/bench_paths.py, 1000-sphere 1080p) the megakernel runs 1.5x
+    slower than the compacting multi-launch integrator because blocks keep
+    sweeping while any lane lives — the multi-launch path's hit-first
+    compaction wins until in-kernel visits get cheaper."""
     import os
 
-    if os.environ.get("WRT_NO_MEGAKERNEL"):
+    if os.environ.get("WRT_NO_MEGAKERNEL") or not os.environ.get("WRT_MEGAKERNEL"):
         return False
     from ..ops import pallas_path as PP
+    from ..ops.wavefront import pallas_forced_interpret
 
-    return PP.supports(scene, flags, env, vol) and jax.default_backend() == "tpu"
+    return PP.supports(scene, flags, env, vol) and (
+        jax.default_backend() == "tpu" or pallas_forced_interpret())
 
 
 def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
@@ -705,10 +711,12 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
     all-miss chunks skip everything past the environment lookup."""
     if _use_megakernel(scene, env, vol, flags):
         from ..ops import pallas_path as PP
+        from ..ops.wavefront import pallas_forced_interpret
 
         radiance, nrays = PP.render_sample(scene, flags, u, px, py,
                                            frame_index, s,
-                                           with_stats=with_stats)
+                                           with_stats=with_stats,
+                                           interpret=pallas_forced_interpret())
         if with_stats:
             # The megakernel counts shadow candidates per lane; primaries
             # and live bounces are counted in-kernel as well.
