@@ -45,7 +45,11 @@ def main() -> None:
     from webgl_raytracer_tpu.scene import compile_scene
 
     width, height = 1920, 1080
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    # 20 frames per fused dispatch: progressive rendering runs hundreds of
+    # frames, and the tunnel's per-dispatch floor (25-230 ms depending on
+    # slice) must amortize like production use — frames=5 under-reported
+    # the chip by ~15% (measured 12.4 vs 14.9 Mray/s same window).
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
     scene = compile_scene(random_sphere_geometry(1000))
     r = Renderer(scene, width=width, height=height)

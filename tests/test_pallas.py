@@ -154,3 +154,48 @@ def test_clip_plane_in_kernel(mixed_scene, rays):
                         active=None)
     fp = PS.trace_any(mixed_scene, o3, d3, tmin, clip=clip, interpret=True)
     assert (np.asarray(fd) == np.asarray(fp)).mean() > 0.999
+
+
+@pytest.fixture(scope="module")
+def large_scene():
+    """~160 clusters: exercises the two-level group entries pass (the
+    single-group fast path covers K <= 128)."""
+    rng = np.random.default_rng(21)
+    n = 20000
+    centers = (rng.random((n, 3)).astype(np.float32) - 0.5) * 54
+    radii = (0.15 + rng.random(n) * 0.3).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    return compile_scene(Geometry(centers, radii, colors, z3, z3, z1, z3))
+
+
+def test_large_k_multigroup(large_scene):
+    assert large_scene.num_clusters > 128, large_scene.num_clusters
+    rng = np.random.default_rng(6)
+    n = 1024
+    o = rng.normal(size=(3, n)).astype(np.float32) * 10
+    o[2] += 45
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d[2] -= 1.2
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    o3 = tuple(jnp.asarray(o[i]) for i in range(3))
+    d3 = tuple(jnp.asarray(d[i]) for i in range(3))
+    tmin = jnp.full((n,), np.float32(1e-3))
+    rec = W._dense_trace(large_scene, o3, d3, tmin, None, any_hit=False,
+                         accept_min=None, t_max=None, active=None)
+    ct, cr = PS.trace_closest(large_scene, o3, d3, tmin, interpret=True)
+    dhit = np.asarray(rec.prim_type >= 0)
+    phit = np.asarray(cr) >= 0
+    assert dhit.mean() > 0.2   # scene actually in view
+    assert (dhit == phit).mean() > 0.999
+    both = dhit & phit
+    assert np.allclose(np.asarray(ct)[both], np.asarray(rec.t)[both],
+                       rtol=2e-4, atol=1e-4)
+
+    fd = W._dense_trace(large_scene, o3, d3, tmin, None, any_hit=True,
+                        accept_min=jnp.full(tmin.shape, 0.01), t_max=60.0,
+                        active=None)
+    fp = PS.trace_any(large_scene, o3, d3, tmin, t_max=60.0,
+                      accept_min=jnp.full(tmin.shape, 0.01), interpret=True)
+    assert (np.asarray(fd) == np.asarray(fp)).mean() > 0.999

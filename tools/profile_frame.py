@@ -44,7 +44,12 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--out", help="also write the JSON report to this path")
     args = ap.parse_args()
+
+    from webgl_raytracer_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
@@ -101,14 +106,27 @@ def main() -> None:
         r.render_frames(1)
         return r._accum
 
+    # Full-sample A/B: block-permuted compaction vs relying on the Morton
+    # tile order's natural coherence alone (WRT_NO_PERM, read at trace time
+    # so each wrapper bakes its own variant).
+    fs_perm = jax.jit(lambda u, px, py: I._sample_radiance(
+        r.scene, None, None, flags, u, px, py, jnp.uint32(0), 0)[0])
+    os.environ["WRT_NO_PERM"] = "1"
+    fs_noperm = jax.jit(lambda u, px, py: I._sample_radiance(
+        r.scene, None, None, flags, u, px, py, jnp.uint32(0), 0)[0])
+    jax.block_until_ready(fs_noperm(uniforms, px, py)[0])
+    del os.environ["WRT_NO_PERM"]
+
     stages = {
         "ray_generation": best_ms(raygen, uniforms, px, py),
         "primary_closest_trace": best_ms(primary, r.scene, uniforms, o3, d3),
         "hit_first_permutation": best_ms(perm, seed, o3, d3, rec),
+        "sample_permuted": best_ms(fs_perm, uniforms, px, py),
+        "sample_no_permutation": best_ms(fs_noperm, uniforms, px, py),
         "full_frame": best_ms(frame),
     }
     hit_frac = float(np.asarray(rec.prim_type >= 0).mean())
-    print(json.dumps({
+    report = {
         "resolution": f"{args.width}x{args.height}",
         "rays": n,
         "primary_hit_fraction": round(hit_frac, 4),
@@ -117,7 +135,11 @@ def main() -> None:
             stages["full_frame"] - stages["primary_closest_trace"]
             - stages["hit_first_permutation"] - stages["ray_generation"], 2),
         "device": str(jax.devices()[0]),
-    }, indent=2))
+    }
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
 
 
 if __name__ == "__main__":

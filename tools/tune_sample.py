@@ -1,15 +1,11 @@
 #!/usr/bin/env python3
-"""A/B the two transport formulations on the real chip.
+"""Tuning sweep for the full-sample champion path on the real chip.
 
-Times ONE progressive sample (spp=1) at the given resolution through:
-  mega  — the Pallas path megakernel (ops/pallas_path.render_sample)
-  xla   — the multi-launch XLA integrator with hit-first compaction
-          (render/integrator._sample_radiance under WRT_NO_MEGAKERNEL)
+Times _sample_radiance variants (all permuted-compaction) under different
+chunk counts, and reports the kernel-primary stage, in one process so the
+numbers are comparable despite tunnel variance.
 
-Both consume the same RNG stream, so this is a pure formulation race.
-
-  python tools/bench_paths.py --scene spheres1000
-  python tools/bench_paths.py --scene spheres10000 --skip-mega
+  python tools/tune_sample.py --scene spheres1000 --chunks 4 8 16 32
 """
 
 from __future__ import annotations
@@ -54,8 +50,9 @@ def main() -> int:
     ap.add_argument("--molecule")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--skip-mega", action="store_true")
-    ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--chunks", type=int, nargs="*", default=[4, 8, 16, 32])
+    ap.add_argument("--variants", action="store_true",
+                    help="also time no-shadow / 1-bounce flag variants")
     args = ap.parse_args()
 
     from webgl_raytracer_tpu.utils import enable_compilation_cache
@@ -68,9 +65,11 @@ def main() -> int:
     from webgl_raytracer_tpu.app.pipeline import (load_molecule_scene,
                                                   load_random_spheres)
     from webgl_raytracer_tpu.models import get_builtin_molecule
+    from webgl_raytracer_tpu.ops.wavefront import wf_trace_closest_v3
     from webgl_raytracer_tpu.render import Renderer
     from webgl_raytracer_tpu.render.config import split_settings
-    from webgl_raytracer_tpu.render.integrator import _sample_radiance
+    from webgl_raytracer_tpu.render.integrator import (_sample_radiance,
+                                                       generate_camera_rays)
     from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
 
     if args.molecule:
@@ -85,33 +84,42 @@ def main() -> int:
         r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
         has_env=False, has_volume=False, clip=None)
     px, py = r._pixel_grids()
-    out = {"scene": args.scene or args.molecule,
-           "resolution": f"{args.width}x{args.height}",
-           "rays": int(px.shape[0]), "max_bounces": flags.max_bounces,
-           "num_clusters": int(r.scene.num_clusters)}
+    out = {"scene": args.scene or args.molecule, "rays": int(px.shape[0])}
 
-    if not args.skip_mega:
-        from webgl_raytracer_tpu.ops import pallas_path as PP
+    # Primary kernel trace in isolation.
+    @jax.jit
+    def primary(u, px, py):
+        _, o3, d3 = generate_camera_rays(u, flags, px, py, jnp.uint32(0),
+                                         jnp.uint32(0))
+        tmin = jnp.broadcast_to(jnp.float32(u.t_min), o3[0].shape)
+        return wf_trace_closest_v3(r.scene, o3, d3, tmin).t
 
-        if PP.supports(r.scene, flags, None, None):
-            fn = jax.jit(lambda u, px, py: PP.render_sample(
-                r.scene, flags, u, px, py, jnp.uint32(0), 0)[0])
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(u, px, py)[0])
-            out["mega_compile_s"] = round(time.perf_counter() - t0, 1)
-            out["mega_ms"] = round(best_ms(fn, u, px, py), 1)
-        else:
-            out["mega_ms"] = None
+    out["raygen_plus_primary_ms"] = round(best_ms(primary, u, px, py), 1)
 
-    if not args.skip_xla:
-        os.environ["WRT_NO_MEGAKERNEL"] = "1"
-        fx = jax.jit(lambda u, px, py: _sample_radiance(
+    for c in args.chunks:
+        os.environ["WRT_CHUNKS"] = str(c)
+        fn = jax.jit(lambda u, px, py: _sample_radiance(
             r.scene, None, None, flags, u, px, py, jnp.uint32(0), 0)[0])
-        t0 = time.perf_counter()
-        jax.block_until_ready(fx(u, px, py)[0])
-        del os.environ["WRT_NO_MEGAKERNEL"]
-        out["xla_compile_s"] = round(time.perf_counter() - t0, 1)
-        out["xla_ms"] = round(best_ms(fx, u, px, py), 1)
+        try:
+            ms = best_ms(fn, u, px, py)
+            out[f"sample_chunks{c}_ms"] = round(ms, 1)
+        except Exception as e:  # noqa: BLE001
+            out[f"sample_chunks{c}_ms"] = f"error: {e}"[:120]
+        finally:
+            del os.environ["WRT_CHUNKS"]
+
+    if args.variants:
+        import dataclasses
+
+        for name, f2 in [
+            ("noshadow", dataclasses.replace(flags, cast_shadows=False)),
+            ("bounce1", dataclasses.replace(flags, max_bounces=1)),
+            ("bounce1_noshadow", dataclasses.replace(
+                flags, max_bounces=1, cast_shadows=False)),
+        ]:
+            fv = jax.jit(lambda u, px, py, f2=f2: _sample_radiance(
+                r.scene, None, None, f2, u, px, py, jnp.uint32(0), 0)[0])
+            out[f"sample_{name}_ms"] = round(best_ms(fv, u, px, py), 1)
 
     print(json.dumps(out))
     return 0

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""VPU speed-of-light probe: how fast does the chip execute the traversal
+sweep's op mix on [1024, 128] f32 blocks?
+
+Runs a Pallas kernel that performs `iters` sphere-test-shaped sweeps (same
+op mix as pallas_trace._prim_ts: ~24 elementwise ops incl. one sqrt) per
+grid step, and reports ns per sweep. Multiply by measured visits/frame to
+get the traversal's floor on this chip.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, C = 1024, 128
+
+
+def make_kernel(iters):
+    def kernel(a_ref, s_ref, out_ref, bt_ref):
+        dx = a_ref[:, 0:1]
+        dy = a_ref[:, 1:2]
+        dz = a_ref[:, 2:3]
+        ox = a_ref[:, 3:4]
+        oy = a_ref[:, 4:5]
+        oz = a_ref[:, 5:6]
+        tmin = a_ref[:, 6:7]
+        bt_ref[:] = jnp.full((B, C), 1e20, jnp.float32)
+
+        def body(k, carry):
+            kf = k.astype(jnp.float32) * 1e-3
+            cx = s_ref[pl.ds(3 * (k % 8), 1), :] + kf
+            cy = s_ref[pl.ds(3 * (k % 8) + 1, 1), :] + kf
+            cz = s_ref[pl.ds(3 * (k % 8) + 2, 1), :] + kf
+            sx = ox - cx
+            sy = oy - cy
+            sz = oz - cz
+            b = sx * dx + sy * dy + sz * dz
+            cterm = sx * sx + sy * sy + sz * sz - cx * cx
+            disc = b * b - cterm
+            sq = jnp.sqrt(disc)
+            t0 = -b - sq
+            ts = jnp.where(t0 > tmin, t0, -b + sq)
+            ts = jnp.where(ts > tmin, ts, -1.0)
+            bt = bt_ref[:]
+            upd = (ts > 0.0) & (ts < bt)
+            bt_ref[:] = jnp.where(upd, ts, bt)
+            return carry
+
+        jax.lax.fori_loop(0, iters, body, 0)
+        out_ref[:] = jnp.min(bt_ref[:], axis=1)
+
+    return kernel
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(B, 16)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(24, C)).astype(np.float32))
+
+    fn = pl.pallas_call(
+        make_kernel(iters),
+        out_shape=jax.ShapeDtypeStruct((B,), jnp.float32),
+        in_specs=[pl.BlockSpec((B, 16), lambda: (0, 0)),
+                  pl.BlockSpec((24, C), lambda: (0, 0))],
+        out_specs=pl.BlockSpec((B,), lambda: (0,)),
+        scratch_shapes=[pltpu.VMEM((B, C), jnp.float32)],
+    )
+    jitted = jax.jit(fn)
+    out = jitted(a, s)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for i in range(8):
+        a_i = a + np.float32(i) * 1e-6   # defeat any input-identity caching
+        t0 = time.perf_counter()
+        np.asarray(jitted(a_i, s))       # D2H forces real completion
+        best = min(best, time.perf_counter() - t0)
+    per_sweep_ns = best / iters * 1e9
+    ops = 24 * B * C
+    print(f"iters={iters} total={best*1e3:.3f} ms  per-sweep={per_sweep_ns:.0f} ns"
+          f"  ~{ops/ (per_sweep_ns*1e-9) / 1e12:.2f} Tops/s effective")
+
+
+if __name__ == "__main__":
+    main()

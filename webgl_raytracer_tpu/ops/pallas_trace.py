@@ -43,7 +43,7 @@ BIG = np.float32(1e20)
 INF = np.float32(np.inf)
 BLOCK = 1024          # rays per kernel program
 ROWS = 16             # SoA rows per cluster (12 data + 4 pad for alignment)
-MAX_CLUSTERS = 1024   # SoA VMEM budget: K * 16 * 128 * 4B = 8 MB at 1024
+MAX_CLUSTERS = 4096   # SoA VMEM budget: K * 16 * 128 * 4B = 32 MB at 4096
 
 
 def _kpad(k: int) -> int:
@@ -51,18 +51,22 @@ def _kpad(k: int) -> int:
     return -(-k // 128) * 128
 
 
-def _slab_entry(bb, k, od):
-    """Conservative 1-D [BLOCK] slab test against cluster k's AABB.
-    Mirrors ops/wavefront.cluster_entry_t (including the parallel-axis
-    inside check) — used only to skip clusters, never to accept hits."""
-    tn = jnp.full((BLOCK,), -BIG)
-    tf = jnp.full((BLOCK,), BIG)
-    ok = jnp.ones((BLOCK,), bool)
+def _slab_sweep(boxT, od, t_cap=None):
+    """[1, L] nearest-entry distances of the block's live rays into L
+    lane-packed AABBs (boxT [8, L]: rows 0-2 bmin, 3-5 bmax; inverted for
+    padding). Mirrors ops/wavefront.cluster_entry_t (including the
+    parallel-axis inside check) — used only to skip boxes, never to accept
+    hits. One [BLOCK, L] sweep replaces the per-box scalar loop, which at
+    large cluster counts used to dominate the whole traversal."""
+    l = boxT.shape[1]
+    tn = jnp.full((BLOCK, l), -BIG)
+    tf = jnp.full((BLOCK, l), BIG)
+    ok = jnp.ones((BLOCK, l), bool)
     for axis in range(3):
-        o = od[3 + axis]
-        d = od[axis]
-        lo = bb[k, axis]
-        hi = bb[k, 3 + axis]
+        o = od[3 + axis][:, None]
+        d = od[axis][:, None]
+        lo = boxT[axis:axis + 1, :]
+        hi = boxT[3 + axis:4 + axis, :]
         parallel = jnp.abs(d) < 1e-8
         inv = 1.0 / jnp.where(parallel, 1.0, d)
         t1 = (lo - o) * inv
@@ -71,7 +75,42 @@ def _slab_entry(bb, k, od):
         tf = jnp.minimum(tf, jnp.where(parallel, BIG, jnp.maximum(t1, t2)))
         ok &= ~parallel | ((o >= lo) & (o <= hi))
     hit = ok & (tf >= jnp.maximum(tn, 0.0))
-    return jnp.where(hit, jnp.maximum(tn, 0.0), INF)
+    entry = jnp.where(hit, jnp.maximum(tn, 0.0), INF)
+    act = od[6][:, None]
+    entry = jnp.where(act > 0.0, entry, INF)
+    if t_cap is not None:
+        entry = jnp.where(entry < t_cap[:, None], entry, INF)
+    ent = jnp.min(entry, axis=0)[None, :]
+    # Inverted (padding) boxes slip through the per-axis min/max slab
+    # algebra as always-hit-at-0; kill them on the reduced row, or every
+    # block sweeps kpad-num_k empty clusters first (measured 10x frame
+    # regression before this line).
+    return jnp.where(boxT[0:1, :] <= boxT[3:4, :], ent, INF)
+
+
+def _root_gate(cp_ref, od):
+    """Scalar: does any LIVE ray enter the scene root AABB (cp slots
+    8-13)? A ~0.5 us [BLOCK] 1-D slab that lets pure-sky and fully-masked
+    blocks skip the traversal prologue — the entries sweep + accumulator
+    init + winner reduction cost ~9 us/block, and on a 1080p frame of a
+    centered molecule ~90% of blocks never touch the scene."""
+    act = od[6]
+    tn = jnp.full((BLOCK,), -BIG)
+    tf = jnp.full((BLOCK,), BIG)
+    ok = act > 0.0
+    for axis in range(3):
+        o = od[3 + axis]
+        d = od[axis]
+        lo = cp_ref[8 + axis]
+        hi = cp_ref[11 + axis]
+        parallel = jnp.abs(d) < 1e-8
+        inv = 1.0 / jnp.where(parallel, 1.0, d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        tn = jnp.maximum(tn, jnp.where(parallel, -BIG, jnp.minimum(t1, t2)))
+        tf = jnp.minimum(tf, jnp.where(parallel, BIG, jnp.maximum(t1, t2)))
+        ok &= ~parallel | ((o >= lo) & (o <= hi))
+    return jnp.any(ok & (tf >= jnp.maximum(tn, 0.0)))
 
 
 def _prim_ts(a_blk, soa_ref, k, types, clip=None):
@@ -97,19 +136,28 @@ def _prim_ts(a_blk, soa_ref, k, types, clip=None):
 
     t = jnp.full((BLOCK, soa_ref.shape[1]), -1.0, jnp.float32)
 
+    single = has_sph + has_cyl + has_tri == 1
+
     if has_sph:
+        # (An MXU bilinear form — c.d and |c|^2-r^2-2o.c as [B,16]x[16,C]
+        # matmuls — was measured twice, round 1 and round 2, and does NOT
+        # beat this elementwise form: the matmul is too small to amortize
+        # and the VPU tail dominates. Don't re-litigate without numbers.)
         sx = ox - row(0)
         sy = oy - row(1)
         sz = oz - row(2)
         b = sx * dx + sy * dy + sz * dz
         cterm = sx * sx + sy * sy + sz * sz - ra * ra
         disc = b * b - cterm
-        ok = disc >= 0.0
-        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+        # No explicit miss mask: sqrt(disc<0) is NaN, every later compare
+        # with a NaN is false, and padding prims carry NaN radii
+        # (_scene_operands), so misses fall out of (ts > tmin) for free.
+        sq = jnp.sqrt(disc)
         t0 = -b - sq
-        t1 = -b + sq
-        ts = jnp.where(t0 > tmin, t0, t1)
-        ts = jnp.where(ok & (ts > tmin), ts, -1.0)
+        ts = jnp.where(t0 > tmin, t0, -b + sq)
+        ts = jnp.where(ts > tmin, ts, -1.0)
+        if single:
+            return ts
         t = jnp.where(ptype == PRIM_SPHERE, ts, t)
 
     if has_cyl:
@@ -181,6 +229,8 @@ def _prim_ts(a_blk, soa_ref, k, types, clip=None):
         tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
         tq = jnp.where(okc & (tq > tmin), tq, -1.0)
         tc = jnp.where(degen, tq, tc)
+        if single:
+            return tc
         t = jnp.where(ptype == PRIM_CYLINDER, tc, t)
 
     if has_tri:
@@ -215,28 +265,43 @@ def _prim_ts(a_blk, soa_ref, k, types, clip=None):
             hz = oz + dz * tt
             s = hx * cnx + hy * cny + hz * cnz - coff
             tt = jnp.where(s * cside > 0.0, -1.0, tt)
+        if single:
+            return tt
         t = jnp.where(ptype == PRIM_TRIANGLE, tt, t)
 
     return t
 
 
-def _block_entries(num_k, kpad, bb_ref, od, t_cap=None):
-    """[1, kpad] of each cluster's nearest entry distance over the
-    block's live rays (INF if nobody enters / everyone's cap is closer).
-    Loop-carried value — Mosaic has no dynamic single-lane stores."""
+def _block_entries(num_k, kpad, bbT_ref, bgT_ref, od, ev_ref, t_cap=None):
+    """Fill ev_ref [1, kpad] with each cluster's nearest entry distance
+    over the block's live rays (INF if nobody enters / everyone's cap is
+    closer); returns the cluster-index iota.
+
+    Two-level: the 128-cluster GROUP AABBs are swept first (one
+    [BLOCK, 128] slab sweep); only groups some live ray enters refine
+    their member clusters with a second sweep (pl.when over a scalar —
+    vector-valued conds crash Mosaic). Cost scales with the groups a
+    block touches, not with the scene's cluster count — this removes the
+    per-cluster scalar loop that dominated traversal beyond ~64 clusters
+    and capped scenes at 1024."""
     kio = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
-    act = od[6]
+    ngroups = kpad // 128
+    if ngroups == 1:
+        ev_ref[:] = _slab_sweep(bbT_ref[:, :], od, t_cap=t_cap)
+        return kio
 
-    def body(k, ev):
-        entry = _slab_entry(bb_ref, k, od)
-        entry = jnp.where(act > 0.0, entry, INF)
-        if t_cap is not None:
-            entry = jnp.where(entry < t_cap, entry, INF)
-        return jnp.where(kio == k, jnp.min(entry), ev)
+    ev_ref[:] = jnp.full((1, kpad), INF, jnp.float32)
+    gent = _slab_sweep(bgT_ref[:, :], od, t_cap=t_cap)     # [1, 128]
+    gio = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for g in range(ngroups):
+        touched = jnp.min(jnp.where(gio == g, gent, INF)) < BIG
 
-    ev = jax.lax.fori_loop(0, num_k, body,
-                           jnp.full((1, kpad), INF, jnp.float32))
-    return ev, kio
+        @pl.when(touched)
+        def _(g=g):
+            ev_ref[0, g * 128:(g + 1) * 128] = _slab_sweep(
+                bbT_ref[:, g * 128:(g + 1) * 128], od, t_cap=t_cap)[0, :]
+
+    return kio
 
 
 def _pop_nearest(ev, kio):
@@ -245,55 +310,105 @@ def _pop_nearest(ev, kio):
     return m, idx
 
 
+def _sweep_cluster(a_blk, soa_ref, k, types, clip, ct_ref, apply):
+    """Run one cluster's intersector sweep and hand ts to `apply`.
+
+    Clusters are type-homogeneous (scene/compile._build_clusters), so on
+    multi-type scenes the body branches on the cluster's type scalar and
+    runs ONLY that intersector — a visited sphere cluster costs the ~14-op
+    MXU sphere tail instead of sphere+cylinder+triangle math. A ct < 0
+    fallback keeps hand-built mixed clusters correct."""
+    has_sph, has_cyl, has_tri = types
+    if has_sph + has_cyl + has_tri <= 1:
+        apply(_prim_ts(a_blk, soa_ref, k, types, clip))
+        return
+    ct = ct_ref[k]
+    if has_sph:
+        @pl.when(ct == PRIM_SPHERE)
+        def _():
+            apply(_prim_ts(a_blk, soa_ref, k, (True, False, False), clip))
+    if has_cyl:
+        @pl.when(ct == PRIM_CYLINDER)
+        def _():
+            apply(_prim_ts(a_blk, soa_ref, k, (False, True, False), clip))
+    if has_tri:
+        @pl.when(ct == PRIM_TRIANGLE)
+        def _():
+            apply(_prim_ts(a_blk, soa_ref, k, (False, False, True), clip))
+
+    @pl.when(ct < 0)
+    def _():
+        apply(_prim_ts(a_blk, soa_ref, k, types, clip))
+
+
 def _make_closest_kernel(types, kpad, clip_on=False):
-    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bb_ref, cp_ref, t_out,
-               row_out, bt_ref, bk_ref):
+    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
+               ct_ref, t_out, row_out, bt_ref, bk_ref, ev_ref):
         a_blk = a_ref[:]
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
         num_k = num_k_ref[0]
         clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
                 if clip_on else None)
-        bt_ref[:] = jnp.full((BLOCK, 128), BIG, jnp.float32)
-        bk_ref[:] = jnp.zeros((BLOCK, 128), jnp.int32)
-        ev0, kio = _block_entries(num_k, kpad, bb_ref, od)
+        act = od[6]
+        gate = _root_gate(cp_ref, od)
 
-        def cond(carry):
-            return carry[1] < BIG
+        @pl.when(gate)
+        def _run():
+            # Inactive lanes start at -BIG so the front-to-back bound is
+            # the farthest ACTIVE lane's closest hit — otherwise one masked
+            # lane (secondary/shadow traces are heavily masked) pins the
+            # bound at BIG and the early exit never fires. Outputs for
+            # inactive lanes are garbage; trace_closest masks them.
+            bt_ref[:] = jnp.broadcast_to(
+                jnp.where(act[:, None] > 0.0, BIG, -BIG), (BLOCK, 128))
+            bk_ref[:] = jnp.zeros((BLOCK, 128), jnp.int32)
+            kio = _block_entries(num_k, kpad, bbT_ref, bgT_ref, od, ev_ref)
+            ev0 = ev_ref[:]
 
-        def body(carry):
-            ev, _, k = carry
-            ts = _prim_ts(a_blk, soa_ref, k, types, clip)
+            def cond(carry):
+                return carry[1] < BIG
+
+            def body(carry):
+                ev, _, k = carry
+
+                def apply(ts):
+                    bt = bt_ref[:]
+                    upd = (ts > 0.0) & (ts < bt)
+                    bt_ref[:] = jnp.where(upd, ts, bt)
+                    bk_ref[:] = jnp.where(upd, k, bk_ref[:])
+
+                _sweep_cluster(a_blk, soa_ref, k, types, clip, ct_ref, apply)
+                ev = jnp.where(kio == k, INF, ev)
+                e_next, k_next = _pop_nearest(ev, kio)
+                # Farthest per-ray closest hit; no-hit rays keep it at
+                # BIG, so only fully-hit blocks exit early.
+                bound = jnp.max(jnp.min(bt_ref[:], axis=1))
+                e_next = jnp.where(e_next < bound, e_next, INF)
+                return ev, e_next, k_next
+
+            e0, k0 = _pop_nearest(ev0, kio)
+            jax.lax.while_loop(cond, body, (ev0, e0, k0))
+
             bt = bt_ref[:]
-            upd = (ts > 0.0) & (ts < bt)
-            bt = jnp.where(upd, ts, bt)
-            bt_ref[:] = bt
-            bk_ref[:] = jnp.where(upd, k, bk_ref[:])
-            ev = jnp.where(kio == k, INF, ev)
-            e_next, k_next = _pop_nearest(ev, kio)
-            # Farthest per-ray closest hit; no-hit rays keep it at BIG, so
-            # only fully-hit blocks exit before the worklist runs dry.
-            bound = jnp.max(jnp.min(bt, axis=1))
-            e_next = jnp.where(e_next < bound, e_next, INF)
-            return ev, e_next, k_next
+            tbest = jnp.min(bt, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1)
+            packed = jnp.where(bt == tbest[:, None], bk_ref[:] * 128 + lane,
+                               jnp.int32(2 ** 30))
+            rw = jnp.min(packed, axis=1)
+            t_out[:] = tbest
+            row_out[:] = jnp.where(tbest < BIG, rw, -1)
 
-        e0, k0 = _pop_nearest(ev0, kio)
-        jax.lax.while_loop(cond, body, (ev0, e0, k0))
-
-        bt = bt_ref[:]
-        tbest = jnp.min(bt, axis=1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1)
-        packed = jnp.where(bt == tbest[:, None], bk_ref[:] * 128 + lane,
-                           jnp.int32(2 ** 30))
-        rw = jnp.min(packed, axis=1)
-        t_out[:] = tbest
-        row_out[:] = jnp.where(tbest < BIG, rw, -1)
+        @pl.when(~gate)
+        def _miss():
+            t_out[:] = jnp.full((BLOCK,), BIG, jnp.float32)
+            row_out[:] = jnp.full((BLOCK,), -1, jnp.int32)
 
     return kernel
 
 
 def _make_any_kernel(types, kpad, clip_on=False):
-    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bb_ref, cp_ref, found_out,
-               found_ref):
+    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
+               ct_ref, found_out, found_ref, ev_ref):
         a_blk = a_ref[:]
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
         t_hi = od_ref[6, :]
@@ -302,27 +417,44 @@ def _make_any_kernel(types, kpad, clip_on=False):
         num_k = num_k_ref[0]
         clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
                 if clip_on else None)
-        found_ref[:] = jnp.zeros((BLOCK,), jnp.int32)
-        ev0, kio = _block_entries(num_k, kpad, bb_ref, od, t_cap=t_hi)
+        act = od[6]
+        gate = _root_gate(cp_ref, od)
 
-        def cond(carry):
-            return carry[1] < BIG
+        @pl.when(gate)
+        def _run():
+            # Inactive lanes start as "found" so the every-ray-shadowed
+            # early exit counts only ACTIVE lanes — shadow batches are
+            # candidate-masked, and without this the exit never fired.
+            found_ref[:] = (act <= 0.0).astype(jnp.int32)
+            kio = _block_entries(num_k, kpad, bbT_ref, bgT_ref, od, ev_ref,
+                                 t_cap=t_hi)
+            ev0 = ev_ref[:]
 
-        def body(carry):
-            ev, _, k = carry
-            ts = _prim_ts(a_blk, soa_ref, k, types, clip)
-            hit = jnp.any((ts > lo_col) & (ts < hi_col), axis=1)
-            f = found_ref[:] | hit.astype(jnp.int32)
-            found_ref[:] = f
-            ev = jnp.where(kio == k, INF, ev)
-            e_next, k_next = _pop_nearest(ev, kio)
-            # Occlusion queries stop once every ray is shadowed.
-            e_next = jnp.where(jnp.min(f) > 0, INF, e_next)
-            return ev, e_next, k_next
+            def cond(carry):
+                return carry[1] < BIG
 
-        e0, k0 = _pop_nearest(ev0, kio)
-        jax.lax.while_loop(cond, body, (ev0, e0, k0))
-        found_out[:] = found_ref[:]
+            def body(carry):
+                ev, _, k = carry
+
+                def apply(ts):
+                    hit = jnp.any((ts > lo_col) & (ts < hi_col), axis=1)
+                    found_ref[:] = found_ref[:] | hit.astype(jnp.int32)
+
+                _sweep_cluster(a_blk, soa_ref, k, types, clip, ct_ref, apply)
+                f = found_ref[:]
+                ev = jnp.where(kio == k, INF, ev)
+                e_next, k_next = _pop_nearest(ev, kio)
+                # Occlusion queries stop once every ray is shadowed.
+                e_next = jnp.where(jnp.min(f) > 0, INF, e_next)
+                return ev, e_next, k_next
+
+            e0, k0 = _pop_nearest(ev0, kio)
+            jax.lax.while_loop(cond, body, (ev0, e0, k0))
+            found_out[:] = jnp.where(act > 0.0, found_ref[:], 0)
+
+        @pl.when(~gate)
+        def _miss():
+            found_out[:] = jnp.zeros((BLOCK,), jnp.int32)
 
     return kernel
 
@@ -346,11 +478,44 @@ def _scene_operands(scene):
     # b.xyz rows are real positions for cylinders/triangles but carry the
     # local index at row 7 and type at row 11 — those have 0 shift above.
     soa_c = soa - shift[None, :, None]
+    # Padding prims (type < 0) get NaN radii so their sphere/cylinder
+    # discriminants are NaN and every hit-acceptance compare is false —
+    # the kernel then needs no explicit type mask on single-type scenes.
+    soa_c = soa_c.at[:, 3, :].set(
+        jnp.where(soa[:, 11, :] < 0.0, jnp.float32(np.nan), soa_c[:, 3, :]))
     pad = jnp.zeros((k, ROWS - 12, c), jnp.float32)
     soa16 = jnp.concatenate([soa_c, pad], axis=1).reshape(k * ROWS, c)
-    bb = jnp.concatenate([bmin - mid[None, :], bmax - mid[None, :],
-                          jnp.zeros((k, 2), jnp.float32)], axis=1)
-    return soa16.astype(jnp.float32), bb.astype(jnp.float32), mid
+    # Lane-packed cluster AABBs [8, kpad] (rows 0-2 bmin, 3-5 bmax) plus
+    # 128-cluster GROUP AABBs [8, 128] for the two-level entries pass.
+    # Padding boxes are inverted (+BIG/-BIG) so the slab sweep misses them.
+    kp = _kpad(k)
+    bmin_c = bmin - mid[None, :]
+    bmax_c = bmax - mid[None, :]
+    bmin_p = jnp.concatenate(
+        [bmin_c, jnp.full((kp - k, 3), BIG, jnp.float32)])
+    bmax_p = jnp.concatenate(
+        [bmax_c, jnp.full((kp - k, 3), -BIG, jnp.float32)])
+    bbT = jnp.concatenate([bmin_p.T, bmax_p.T,
+                           jnp.zeros((2, kp), jnp.float32)])       # [8, kpad]
+    ng = kp // 128
+    gmin = jnp.min(bmin_p.reshape(ng, 128, 3), axis=1)
+    gmax = jnp.max(bmax_p.reshape(ng, 128, 3), axis=1)
+    gmin = jnp.concatenate(
+        [gmin, jnp.full((128 - ng, 3), BIG, jnp.float32)])
+    gmax = jnp.concatenate(
+        [gmax, jnp.full((128 - ng, 3), -BIG, jnp.float32)])
+    bgT = jnp.concatenate([gmin.T, gmax.T,
+                           jnp.zeros((2, 128), jnp.float32)])      # [8, 128]
+    # Per-cluster type (-1 = mixed/hand-built): compiled scenes are
+    # type-homogeneous (scene/compile._build_clusters), letting the sweep
+    # dispatch run only the visited cluster's intersector.
+    prow = soa[:, 11, :]
+    valid = prow >= 0
+    tmax = jnp.max(jnp.where(valid, prow, -1.0), axis=1)
+    tmn = jnp.min(jnp.where(valid, prow, 99.0), axis=1)
+    ctype = jnp.where((tmax == tmn) & (tmax >= 0), tmax, -1.0).astype(jnp.int32)
+    return (soa16.astype(jnp.float32), bbT.astype(jnp.float32),
+            bgT.astype(jnp.float32), mid, ctype)
 
 
 def _ray_operands(o3, d3, t_min, accept_lo, t_hi, mid, n_pad, active=None):
@@ -374,14 +539,16 @@ def _ray_operands(o3, d3, t_min, accept_lo, t_hi, mid, n_pad, active=None):
     return a, od
 
 
-def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bb, cp,
-               interpret):
+def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bbT, bgT,
+               cp, ct, interpret):
     nb = n_pad // BLOCK
+    kp = _kpad(k)
     if is_closest:
         scratch = [pltpu.VMEM((BLOCK, 128), jnp.float32),
                    pltpu.VMEM((BLOCK, 128), jnp.int32)]
     else:
         scratch = [pltpu.VMEM((BLOCK,), jnp.int32)]
+    scratch.append(pltpu.VMEM((1, kp), jnp.float32))   # entries
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -389,6 +556,8 @@ def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bb, cp,
             pl.BlockSpec((BLOCK, 16), lambda i, s: (i, 0)),
             pl.BlockSpec((8, BLOCK), lambda i, s: (0, i)),
             pl.BlockSpec((k * ROWS, 128), lambda i, s: (0, 0)),
+            pl.BlockSpec((8, kp), lambda i, s: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, s: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -400,8 +569,10 @@ def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bb, cp,
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), dt) for dt in outs],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.array([k], jnp.int32), a, od, soa, bb, cp)
+    )(jnp.array([k], jnp.int32), a, od, soa, bbT, bgT, cp, ct)
 
 
 # With only a handful of clusters the XLA dense sweep has no culling to
@@ -424,17 +595,22 @@ def _types(scene):
             scene.tri_count > 0)
 
 
-def _clip_operand(clip, mid):
-    """Clip scalars shifted into scene-centered coordinates: the plane
-    n.x = off becomes n.(x - mid) = off - n.mid."""
+def _scalar_operand(clip, mid, scene):
+    """16 SMEM scalars: clip plane (slots 0-4, scene-centered: the plane
+    n.x = off becomes n.(x - mid) = off - n.mid) and the scene root AABB
+    (slots 8-13, centered) for the kernels' block gate."""
+    root = jnp.concatenate([
+        jnp.min(scene.cluster_bmin, axis=0) - mid,
+        jnp.max(scene.cluster_bmax, axis=0) - mid])
     if clip is None:
-        return jnp.zeros(8, jnp.float32), False
+        return jnp.concatenate([jnp.zeros(8, jnp.float32), root,
+                                jnp.zeros(2, jnp.float32)]), False
     normal, offset, side = clip
     normal = jnp.asarray(normal, jnp.float32).reshape(3)
     off_c = jnp.asarray(offset, jnp.float32) - jnp.dot(normal, mid)
     return jnp.concatenate([
         normal, off_c.reshape(1), jnp.asarray(side, jnp.float32).reshape(1),
-        jnp.zeros(3, jnp.float32)]), True
+        jnp.zeros(3, jnp.float32), root, jnp.zeros(2, jnp.float32)]), True
 
 
 def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
@@ -444,15 +620,15 @@ def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
     accumulator outputs."""
     n = o3[0].shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
-    soa, bb, mid = _scene_operands(scene)
-    cp, clip_on = _clip_operand(clip, mid)
+    soa, bbT, bgT, mid, ct = _scene_operands(scene)
+    cp, clip_on = _scalar_operand(clip, mid, scene)
     a, od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
                           jnp.full((n,), BIG), mid, n_pad, active=active)
     t, row = _grid_call(
         _make_closest_kernel(_types(scene), _kpad(scene.num_clusters),
                              clip_on),
         True, n_pad, scene.num_clusters, (jnp.float32, jnp.int32),
-        a, od, soa, bb, cp, interpret)
+        a, od, soa, bbT, bgT, cp, ct, interpret)
     closest = t[:n]
     best_row = row[:n]
     if active is not None:
@@ -472,13 +648,13 @@ def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
     else:
         lo = jnp.broadcast_to(jnp.asarray(accept_min, jnp.float32), (n,))
     hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    soa, bb, mid = _scene_operands(scene)
-    cp, clip_on = _clip_operand(clip, mid)
+    soa, bbT, bgT, mid, ct = _scene_operands(scene)
+    cp, clip_on = _scalar_operand(clip, mid, scene)
     a, od = _ray_operands(o3, d3, t_min, lo, hi, mid, n_pad, active=active)
     (found,) = _grid_call(
         _make_any_kernel(_types(scene), _kpad(scene.num_clusters), clip_on),
         False, n_pad, scene.num_clusters, (jnp.int32,),
-        a, od, soa, bb, cp, interpret)
+        a, od, soa, bbT, bgT, cp, ct, interpret)
     found = found[:n] != 0
     if active is not None:
         found = found & active

@@ -652,17 +652,40 @@ def _dense_trace(scene, o3, d3, t_min, clip, any_hit, accept_min,
                          cost=jnp.full((n,), k * scene.cluster_size, jnp.int32))
 
 
-def _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row, cost):
+def _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row, cost,
+                  refine_sphere_t=False):
     """Recover hit attributes for the winning primitive per ray: one [B,12]
     row gather + component-form ([B]-shaped) re-derivation of barycentrics /
     cylinder cap type — keeps the hot loop free of [B,C,*] attribute
-    selection and avoids padded small-minor-axis ops here too."""
+    selection and avoids padded small-minor-axis ops here too.
+
+    refine_sphere_t (the Pallas path): recompute sphere winners' t with
+    the quadratic in GLOBAL coordinates, removing the kernel's scene-
+    centered rounding so hit positions match the XLA path to f32 ulps.
+    Done here to reuse this function's row gather — per-ray gathers are
+    the TPU slow path, and a second [B,12] gather measured ~26 ms/frame
+    at 1080p."""
     flat = scene.cluster_prims.reshape(-1, 12)
     row = flat[jnp.maximum(best_row, 0)]
     ox, oy, oz = o3
     dx, dy, dz = d3
     ptype = row[:, 11].astype(jnp.int32)
     plocal = row[:, 7].astype(jnp.int32)
+
+    if refine_sphere_t and scene.sphere_count:
+        sx = ox - row[:, 0]
+        sy = oy - row[:, 1]
+        sz = oz - row[:, 2]
+        b = sx * dx + sy * dy + sz * dz
+        cterm = sx * sx + sy * sy + sz * sz - row[:, 3] * row[:, 3]
+        disc = b * b - cterm
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        ts = jnp.where(t0 > t_min, t0, t1)
+        ok = ((best_row >= 0) & (ptype == PRIM_SPHERE)
+              & (disc >= 0.0) & (ts > t_min))
+        closest = jnp.where(ok, ts, closest)
 
     e0 = jnp.zeros_like(closest)
     e1 = jnp.zeros_like(closest)
@@ -824,31 +847,10 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
         closest, best_row = PS.trace_closest(scene, o3, d3, t_min, clip=clip,
                                              active=active,
                                              interpret=pallas_forced_interpret())
-        if scene.sphere_count:
-            # Recompute sphere winners' t with the quadratic in GLOBAL
-            # coordinates — one [B]-wide pass that removes the kernel's
-            # scene-centered rounding, so sphere hit positions match the
-            # XLA path to f32 ulps. Cylinder/triangle winners keep the
-            # kernel's t (same expressions, centered coordinates).
-            flat = scene.cluster_prims.reshape(-1, 12)
-            row = flat[jnp.maximum(best_row, 0)]
-            sx = o3[0] - row[:, 0]
-            sy = o3[1] - row[:, 1]
-            sz = o3[2] - row[:, 2]
-            b = sx * d3[0] + sy * d3[1] + sz * d3[2]
-            cterm = sx * sx + sy * sy + sz * sz - row[:, 3] * row[:, 3]
-            disc = b * b - cterm
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t0 = -b - sq
-            t1 = -b + sq
-            ts = jnp.where(t0 > t_min, t0, t1)
-            hit = ((best_row >= 0)
-                   & (row[:, 11].astype(jnp.int32) == PRIM_SPHERE)
-                   & (disc >= 0.0) & (ts > t_min))
-            closest = jnp.where(hit, ts, closest)
         return _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row,
                              cost=jnp.full((n,), k * scene.cluster_size,
-                                           jnp.int32))
+                                           jnp.int32),
+                             refine_sphere_t=True)
     if k <= DENSE_MAX_CLUSTERS or n % TILE != 0 or n < TILE:
         if k <= TILE_MAX_CLUSTERS:
             return _dense_trace(scene, o3, d3, t_min, clip,

@@ -616,9 +616,17 @@ CHUNK_TARGET = 1 << 17
 
 def _chunk_count(n: int) -> int:
     """Largest chunk count that keeps chunks >= CHUNK_TARGET rays, divides
-    the batch exactly, and keeps each chunk a multiple of the tracer tile."""
+    the batch exactly, and keeps each chunk a multiple of the tracer tile.
+    WRT_CHUNKS overrides for tuning experiments."""
+    import os
+
     from ..ops.wavefront import TILE
 
+    force = os.environ.get("WRT_CHUNKS")
+    if force:
+        c = int(force)
+        if c == 1 or (n % c == 0 and (n // c) % TILE == 0):
+            return max(1, c)
     if n < 2 * CHUNK_TARGET:
         return 1
     best = 1
@@ -734,13 +742,21 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
 
     rec0 = _closest_hit(scene, flags, origin, direction, u.t_min, clip)
     size = n // chunks
-    g = _PERM_BLOCK if (n % _PERM_BLOCK == 0 and size % _PERM_BLOCK == 0) else 1
-    if g > 1:
-        perm, inv = _tile_permutation(rec0.prim_type >= 0, g)
-        gather = lambda a: a.reshape((n // g, g) + a.shape[1:])[perm].reshape(a.shape)
+    import os
+    if os.environ.get("WRT_NO_PERM"):
+        # Experiment knob: rely on the Morton tile order's natural screen
+        # coherence alone — all-miss chunks still skip, but hits are not
+        # packed to the front (tools/profile_frame.py A/Bs this).
+        g = 0
+        gather = lambda a: a
     else:
-        perm, inv = _hit_first_permutation(rec0.prim_type >= 0)
-        gather = lambda a: a[perm]
+        g = _PERM_BLOCK if (n % _PERM_BLOCK == 0 and size % _PERM_BLOCK == 0) else 1
+        if g > 1:
+            perm, inv = _tile_permutation(rec0.prim_type >= 0, g)
+            gather = lambda a: a.reshape((n // g, g) + a.shape[1:])[perm].reshape(a.shape)
+        else:
+            perm, inv = _hit_first_permutation(rec0.prim_type >= 0)
+            gather = lambda a: a[perm]
 
     # Wavefront records reconstruct exactly from (t, prim_slot) via
     # _finalize_hit, so only 9 scalar lanes move through the permutation
@@ -776,7 +792,9 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         radiance, seed_o = out
         return V.to_array(radiance)
 
-    if g > 1:
+    if g == 0:
+        unperm = lambda c: c
+    elif g > 1:
         unperm = lambda c: c.reshape(n // g, g, 3)[inv].reshape(n, 3)
     else:
         unperm = lambda c: c[inv]

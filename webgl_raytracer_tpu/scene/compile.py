@@ -255,75 +255,90 @@ def compile_scene(
     )
 
 
+def _pack_type_clusters(bvh, c, ptype_code, fill):
+    """Pack one type's SAH leaves as [k, c, 12] cluster rows. `fill` writes
+    the type's geometry columns given (prims, k_idx, slot_idx, local)."""
+    leaf_mask = bvh.node_meta[:, 1] > 0
+    leaf_meta = bvh.node_meta[leaf_mask]
+    k = int(leaf_mask.sum())
+    prims = np.zeros((k, c, 12), np.float32)
+    prims[..., 11] = -1.0
+    colors = np.zeros((k, c, 3), np.float32)
+    counts = leaf_meta[:, 1]
+    k_idx = np.repeat(np.arange(k), counts)
+    slot_idx = (np.concatenate([np.arange(n) for n in counts])
+                if k else np.zeros(0, int))
+    local = np.concatenate([
+        bvh.prim_order[lf:lf + n] for lf, n in zip(leaf_meta[:, 0], counts)
+    ]) if k else np.zeros(0, int)
+    prims[k_idx, slot_idx, 7] = local.astype(np.float32)
+    prims[k_idx, slot_idx, 11] = ptype_code
+    fill(prims, k_idx, slot_idx, local, colors)
+    return prims, colors, bvh.node_bmin[leaf_mask], bvh.node_bmax[leaf_mask]
+
+
 def _build_clusters(geometry: Geometry, tv: np.ndarray, tc: np.ndarray,
                     cluster_size: int, nt: int, ns: int):
     """Group primitives into spatially coherent clusters (SAH leaves of up
     to cluster_size prims) and pack each as padded [C,12] rows for the
     wavefront tracer. Returns (prims f32[K,C,12], colors f32[K*C,3],
-    bmin f32[K,3], bmax f32[K,3])."""
-    cbvh = build_bvh(
-        tri_verts=tv,
-        sphere_centers=geometry.sphere_centers,
-        sphere_radii=geometry.sphere_radii,
-        cyl_p1=geometry.cyl_p1,
-        cyl_p2=geometry.cyl_p2,
-        cyl_radii=geometry.cyl_radii,
-        max_leaf_size=cluster_size,
-        max_depth=48,
-    )
-    leaf_mask = cbvh.node_meta[:, 1] > 0
-    leaf_meta = cbvh.node_meta[leaf_mask]
-    k = max(1, int(leaf_mask.sum()))
+    bmin f32[K,3], bmax f32[K,3]).
+
+    Clusters are TYPE-HOMOGENEOUS: one SAH cluster set per primitive type,
+    concatenated. A traversal sweep then runs only the visited cluster's
+    intersector (the Pallas kernel branches on the cluster type), instead
+    of paying sphere+cylinder+triangle math on every [B, C] visit — on
+    ball-and-stick molecules the cylinder test alone is ~4x the sphere
+    test. Per-type trees overlap spatially, so blocks visit somewhat more
+    clusters, but each visit costs a fraction of the mixed sweep."""
     c = cluster_size
+    parts = []
 
-    prims = np.zeros((k, c, 12), np.float32)
-    prims[..., 11] = -1.0
-    colors = np.zeros((k, c, 3), np.float32)
-    bmin = np.zeros((k, 3), np.float32)
-    bmax = np.zeros((k, 3), np.float32)
+    if nt:
+        def fill_tri(prims, k_idx, slot_idx, local, colors):
+            prims[k_idx, slot_idx, 0:3] = tv[local, 0]
+            prims[k_idx, slot_idx, 4:7] = tv[local, 1]
+            prims[k_idx, slot_idx, 8:11] = tv[local, 2]
+            colors[k_idx, slot_idx] = tc[local]
 
-    if cbvh.prim_count:
-        bmin[:] = cbvh.node_bmin[leaf_mask]
-        bmax[:] = cbvh.node_bmax[leaf_mask]
-        nc = geometry.num_cylinders
+        parts.append(_pack_type_clusters(
+            build_bvh(tri_verts=tv, max_leaf_size=c, max_depth=48),
+            c, PRIM_TRIANGLE, fill_tri))
+    if ns:
+        def fill_sph(prims, k_idx, slot_idx, local, colors):
+            prims[k_idx, slot_idx, 0:3] = geometry.sphere_centers[local]
+            prims[k_idx, slot_idx, 3] = geometry.sphere_radii[local]
+            colors[k_idx, slot_idx] = geometry.sphere_colors[local]
 
-        # Flat (cluster, slot) coordinates of every real primitive.
-        counts = leaf_meta[:, 1]
-        k_idx = np.repeat(np.arange(k), counts)
-        slot_idx = np.concatenate([np.arange(n) for n in counts]) if k else np.zeros(0, int)
-        order = np.concatenate([
-            cbvh.prim_order[lf:lf + n] for lf, n in zip(leaf_meta[:, 0], counts)
-        ])
+        parts.append(_pack_type_clusters(
+            build_bvh(sphere_centers=geometry.sphere_centers,
+                      sphere_radii=geometry.sphere_radii,
+                      max_leaf_size=c, max_depth=48),
+            c, PRIM_SPHERE, fill_sph))
+    if geometry.num_cylinders:
+        def fill_cyl(prims, k_idx, slot_idx, local, colors):
+            prims[k_idx, slot_idx, 0:3] = geometry.cyl_p1[local]
+            prims[k_idx, slot_idx, 3] = geometry.cyl_radii[local]
+            prims[k_idx, slot_idx, 4:7] = geometry.cyl_p2[local]
+            colors[k_idx, slot_idx] = geometry.cyl_colors[local]
 
-        ptype = np.where(order < nt, PRIM_TRIANGLE,
-                         np.where(order < nt + ns, PRIM_SPHERE, PRIM_CYLINDER))
-        local = np.where(order < nt, order,
-                         np.where(order < nt + ns, order - nt, order - nt - ns))
+        parts.append(_pack_type_clusters(
+            build_bvh(cyl_p1=geometry.cyl_p1, cyl_p2=geometry.cyl_p2,
+                      cyl_radii=geometry.cyl_radii,
+                      max_leaf_size=c, max_depth=48),
+            c, PRIM_CYLINDER, fill_cyl))
 
-        prims[k_idx, slot_idx, 7] = local.astype(np.float32)
-        prims[k_idx, slot_idx, 11] = ptype.astype(np.float32)
+    if not parts:
+        prims = np.zeros((1, c, 12), np.float32)
+        prims[..., 11] = -1.0
+        return (prims, np.zeros((c, 3), np.float32),
+                np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32))
 
-        tri_m = ptype == PRIM_TRIANGLE
-        sph_m = ptype == PRIM_SPHERE
-        cyl_m = ptype == PRIM_CYLINDER
-        if tri_m.any():
-            li = local[tri_m]
-            prims[k_idx[tri_m], slot_idx[tri_m], 0:3] = tv[li, 0]
-            prims[k_idx[tri_m], slot_idx[tri_m], 4:7] = tv[li, 1]
-            prims[k_idx[tri_m], slot_idx[tri_m], 8:11] = tv[li, 2]
-            colors[k_idx[tri_m], slot_idx[tri_m]] = tc[li]
-        if sph_m.any():
-            li = local[sph_m]
-            prims[k_idx[sph_m], slot_idx[sph_m], 0:3] = geometry.sphere_centers[li]
-            prims[k_idx[sph_m], slot_idx[sph_m], 3] = geometry.sphere_radii[li]
-            colors[k_idx[sph_m], slot_idx[sph_m]] = geometry.sphere_colors[li]
-        if cyl_m.any():
-            li = local[cyl_m]
-            prims[k_idx[cyl_m], slot_idx[cyl_m], 0:3] = geometry.cyl_p1[li]
-            prims[k_idx[cyl_m], slot_idx[cyl_m], 3] = geometry.cyl_radii[li]
-            prims[k_idx[cyl_m], slot_idx[cyl_m], 4:7] = geometry.cyl_p2[li]
-            colors[k_idx[cyl_m], slot_idx[cyl_m]] = geometry.cyl_colors[li]
-
+    prims = np.concatenate([p[0] for p in parts])
+    colors = np.concatenate([p[1] for p in parts])
+    bmin = np.concatenate([p[2] for p in parts])
+    bmax = np.concatenate([p[3] for p in parts])
+    k = prims.shape[0]
     return prims, colors.reshape(k * c, 3), bmin, bmax
 
 
