@@ -190,6 +190,27 @@ class TestServer:
         state.update_settings({"vis_mode": 2})
         assert r.settings.vis_mode == 2
 
+    def test_viewer_light_updates(self):
+        """Per-light route (the reference's light sliders): validated
+        coercion, out-of-range index and bad values ignored."""
+        from webgl_raytracer_tpu.app.server import ViewerState
+
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        state = ViewerState(r)
+        state.update_light(0, {"azimuth": -10, "intensity": 2, "enabled": 0})
+        assert r.settings.lights[0].azimuth == -10.0
+        assert r.settings.lights[0].intensity == 2.0
+        assert r.settings.lights[0].enabled is False
+        before = r.settings.lights[1].angle
+        state.update_light(1, {"angle": "bogus"})
+        state.update_light(9, {"azimuth": 0.0})
+        assert r.settings.lights[1].angle == before
+        # A light change resets progressive accumulation.
+        state.frame_png()
+        state.update_light(2, {"intensity": 1.0})
+        assert state.state()["frame_index"] == 0
+
 
 class TestUtils:
     def test_format_poly_count(self):

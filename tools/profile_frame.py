@@ -24,15 +24,28 @@ import time
 
 
 def best_ms(fn, *args, reps=4):
+    # Perturb the first f32 argument per rep and force D2H: the tunnel
+    # backend serves bit-identical (executable, input) pairs from cache,
+    # which turns same-input timing loops into dispatch-latency probes.
     import jax
+    import numpy as np
 
-    out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    def _go(i):
+        if args:
+            head = jax.tree_util.tree_map(
+                lambda x: x + np.float32(i) * np.float32(1e-12)
+                if hasattr(x, "dtype") and x.dtype == np.float32 else x,
+                args[0])
+            out = fn(head, *args[1:])
+        else:
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    _go(0)
     best = float("inf")
-    for _ in range(reps):
+    for i in range(1, reps + 1):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        _go(i)
         best = min(best, time.perf_counter() - t0)
     return best * 1000.0
 

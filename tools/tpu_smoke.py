@@ -134,6 +134,34 @@ def main() -> int:
     else:
         check("path megakernel support", False, "supports() returned False")
 
+    # --- 3b: large-scene (multi-group, >131k prims) kernel lane -----------
+    big = load_random_spheres(150000)
+    bscene = Renderer(big.scene).scene
+    check("150k-prim scene on kernel path",
+          PS.supports(bscene, None),
+          f"{bscene.num_clusters} clusters")
+    lo, hi = np.asarray(bscene.node_bmin[0]), np.asarray(bscene.node_bmax[0])
+    mid, span = (lo + hi) / 2, (hi - lo)
+    o = (mid + (rng.random((n, 3)) - 0.5) * span * 2).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o3b = tuple(jnp.asarray(o[:, i]) for i in range(3))
+    d3b = tuple(jnp.asarray(d[:, i]) for i in range(3))
+    t_k, row_k = jax.jit(lambda *a: PS.trace_closest(bscene, *a))(
+        o3b, d3b, t_min)
+    rec = jax.jit(lambda *a: wf_trace_closest_v3(
+        bscene, a[0], a[1], a[2], use_pallas=False))(o3b, d3b, t_min)
+    row_k = np.asarray(row_k)
+    slot_x = np.asarray(rec.prim_slot)
+    hit_agree = (row_k >= 0) == (slot_x >= 0)
+    both = (row_k >= 0) & (slot_x >= 0)
+    rel = (np.abs(np.asarray(t_k)[both] - np.asarray(rec.t)[both])
+           / np.maximum(np.asarray(rec.t)[both], 1e-3))
+    check("150k closest-hit kernel vs XLA", hit_agree.mean() > 0.999
+          and float(rel.max(initial=0)) < 2e-3,
+          f"hits {hit_agree.mean():.4f}, rel dt {rel.max(initial=0):.2e}, "
+          f"hit frac {float(both.mean()):.2f}")
+
     # --- 4: timing probe ---------------------------------------------------
     if not args.fast:
         bench = load_random_spheres(1000)

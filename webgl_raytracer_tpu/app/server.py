@@ -52,11 +52,19 @@ VIEWER_HTML = """<!DOCTYPE html>
 </div>
 <div id="status"></div>
 <div id="panel">
- <label>material
-  <select data-k="material_mode">
-   <option>metallic</option><option>matte</option>
-   <option>surface-glass</option><option>translucent-plastic</option>
-  </select></label>
+<fieldset><legend>render</legend>
+ <label>scale <input type="range" data-k="render_scale" data-num="1"
+   min="0.25" max="2" step="0.25" value="1.0"></label>
+ <label>fast scale <input type="range" data-k="fast_scale" data-num="1"
+   min="0.05" max="1" step="0.05" value="0.25"></label>
+ <label>spp <input type="range" data-k="samples_per_bounce" data-num="1"
+   data-int="1" min="1" max="8" step="1" value="1"></label>
+ <label>bounces <input type="range" data-k="max_bounces" data-num="1"
+   data-int="1" min="1" max="8" step="1" value="4"></label>
+ <label>max frames <input type="range" data-k="max_frames" data-num="1"
+   data-int="1" min="0" max="2000" step="10" value="100"></label>
+ <label>exposure <input type="range" data-k="exposure" data-num="1"
+   min="0.1" max="4" step="0.1" value="1.0"></label>
  <label>tone map
   <select data-k="tone_map">
    <option>aces</option><option>linear</option><option>reinhard</option>
@@ -66,17 +74,76 @@ VIEWER_HTML = """<!DOCTYPE html>
    <option value="0">render</option><option value="1">normals</option>
    <option value="2">cost</option><option value="3">depth</option>
   </select></label>
- <label>exposure <input type="range" data-k="exposure" data-num="1"
-   min="0.1" max="4" step="0.1" value="1.0"></label>
+ <label><input type="checkbox" data-k="cast_shadows" checked> shadows</label>
+ <label><input type="checkbox" data-k="use_bvh" checked> BVH</label>
+ <label><input type="checkbox" data-k="use_imported_color" checked> imported color</label>
+</fieldset>
+<fieldset><legend>material</legend>
+ <label>mode
+  <select data-k="material_mode">
+   <option>metallic</option><option>matte</option>
+   <option>surface-glass</option><option>translucent-plastic</option>
+  </select></label>
+ <span data-mode="metallic">
+ <label>metallic <input type="range" data-k="metallic" data-num="1"
+   min="0" max="1" step="0.02" value="0.0"></label>
  <label>roughness <input type="range" data-k="roughness" data-num="1"
    min="0.02" max="1" step="0.02" value="0.4"></label>
+ <label>rim <input type="range" data-k="rim_boost" data-num="1"
+   min="0" max="2" step="0.05" value="0.2"></label>
+ </span>
+ <span data-mode="matte" style="display:none">
+ <label>specular <input type="range" data-k="matte_specular" data-num="1"
+   min="0" max="0.2" step="0.005" value="0.03"></label>
+ <label>roughness <input type="range" data-k="matte_roughness" data-num="1"
+   min="0.02" max="1" step="0.02" value="0.5"></label>
+ <label>diffuse rough <input type="range" data-k="matte_diffuse_roughness"
+   data-num="1" min="0" max="1" step="0.02" value="0.5"></label>
+ <label>wrap <input type="range" data-k="wrap_diffuse" data-num="1"
+   min="0" max="1" step="0.02" value="0.2"></label>
+ </span>
+ <span data-mode="surface-glass translucent-plastic" style="display:none">
+ <label>ior <input type="range" data-k="surface_ior" data-num="1"
+   min="1" max="2.5" step="0.01" value="1.33"></label>
+ <label>transmission <input type="range" data-k="surface_transmission"
+   data-num="1" min="0" max="1" step="0.02" value="0.35"></label>
+ <label>opacity <input type="range" data-k="surface_opacity" data-num="1"
+   min="0" max="1" step="0.02" value="0.0"></label>
+ <label><input type="checkbox" data-k="surface_show_atoms" checked> show atoms</label>
+ </span>
+</fieldset>
+<fieldset><legend>DoF / env / clip</legend>
+ <label><input type="checkbox" data-k="dof_enabled"> DoF</label>
+ <label>aperture <input type="range" data-k="dof_aperture" data-num="1"
+   min="0" max="0.3" step="0.005" value="0.03"></label>
+ <label>focus <input type="range" data-k="dof_focus_distance" data-num="1"
+   min="0.1" max="40" step="0.1" value="4"></label>
  <label>env <input type="range" data-k="env_intensity" data-num="1"
    min="0" max="1" step="0.02" value="0.1"></label>
- <label>bounces <input type="range" data-k="max_bounces" data-num="1"
-   data-int="1" min="1" max="8" step="1" value="4"></label>
- <label><input type="checkbox" data-k="cast_shadows" checked> shadows</label>
- <label><input type="checkbox" data-k="dof_enabled"> DoF</label>
+ <label>env clamp <input type="range" data-k="env_max_luminance" data-num="1"
+   min="1" max="500" step="1" value="200"></label>
+ <label>ambient <input type="range" data-k="ambient_intensity" data-num="1"
+   min="0" max="1" step="0.02" value="0.0"></label>
  <label><input type="checkbox" data-k="clip_enabled"> clip</label>
+ <label>clip dist <input type="range" data-k="clip_distance" data-num="1"
+   min="-40" max="40" step="0.1" value="0"></label>
+</fieldset>
+<fieldset><legend>volume</legend>
+ <label><input type="checkbox" data-k="volume_enabled"> enabled</label>
+ <label>density <input type="range" data-k="volume_density" data-num="1"
+   min="0" max="4" step="0.05" value="1"></label>
+ <label>opacity <input type="range" data-k="volume_opacity" data-num="1"
+   min="0" max="1" step="0.02" value="1"></label>
+ <label>step <input type="range" data-k="volume_step" data-num="1"
+   min="0.1" max="2" step="0.05" value="0.5"></label>
+ <label>threshold <input type="range" data-k="volume_threshold" data-num="1"
+   min="0" max="1" step="0.01" value="0"></label>
+</fieldset>
+<fieldset><legend>lights (key / fill / rim)</legend>
+ <span data-light-row="0"></span>
+ <span data-light-row="1"></span>
+ <span data-light-row="2"></span>
+</fieldset>
 </div>
 <script>
 const img = document.getElementById('frame');
@@ -152,6 +219,40 @@ document.querySelectorAll('#panel [data-k]').forEach(el => {
     else if (el.dataset.num) val = el.dataset.int ? parseInt(el.value) : parseFloat(el.value);
     else val = el.value;
     await fetch('/settings', {method:'POST', body: JSON.stringify({[key]: val})});
+    if (key === 'material_mode') updateModePanels(val);
+  });
+});
+// Material-mode panel visibility (ui_controller.js:23-33).
+function updateModePanels(mode) {
+  document.querySelectorAll('#panel [data-mode]').forEach(sp => {
+    sp.style.display = sp.dataset.mode.split(' ').includes(mode) ? '' : 'none';
+  });
+}
+// Per-light sliders (key/fill/rim, main.js:194-199 defaults).
+const lightDefs = [
+  {az: -40, el: -30, it: 5.0, an: 22, on: true},
+  {az: 40, el: 0, it: 0.6, an: 50, on: true},
+  {az: 170, el: 10, it: 0.35, an: 6, on: true}];
+document.querySelectorAll('[data-light-row]').forEach(row => {
+  const i = +row.dataset.lightRow;
+  const d = lightDefs[i];
+  row.innerHTML =
+    `<label><input type="checkbox" data-li="${i}" data-lk="enabled"` +
+    `${d.on ? ' checked' : ''}> L${i}</label>` +
+    `<label>az <input type="range" data-li="${i}" data-lk="azimuth"` +
+    ` min="-180" max="180" step="1" value="${d.az}"></label>` +
+    `<label>el <input type="range" data-li="${i}" data-lk="elevation"` +
+    ` min="-89" max="89" step="1" value="${d.el}"></label>` +
+    `<label>int <input type="range" data-li="${i}" data-lk="intensity"` +
+    ` min="0" max="8" step="0.05" value="${d.it}"></label>` +
+    `<label>angle <input type="range" data-li="${i}" data-lk="angle"` +
+    ` min="1" max="60" step="1" value="${d.an}"></label>`;
+});
+document.querySelectorAll('[data-lk]').forEach(el => {
+  el.addEventListener('change', async () => {
+    const val = el.type === 'checkbox' ? el.checked : parseFloat(el.value);
+    await fetch('/light', {method:'POST', body: JSON.stringify(
+      {index: +el.dataset.li, [el.dataset.lk]: val})});
   });
 });
 </script>
@@ -337,6 +438,39 @@ class ViewerState:
             self._interactive()
             self.renderer.reset_accumulation()
 
+    def update_light(self, index: int, updates: dict) -> None:
+        """Validated per-light update (the reference's light sliders,
+        main.js:1182-1200): index 0-2, scalar fields coerced like
+        update_settings."""
+        with self.lock:
+            lights = self.renderer.settings.lights
+            if not 0 <= index < len(lights):
+                return
+            li = lights[index]
+            for key, value in updates.items():
+                if key.startswith("_") or not hasattr(li, key):
+                    continue
+                current = getattr(li, key)
+                try:
+                    if isinstance(current, bool):
+                        value = bool(value)
+                    elif isinstance(current, float):
+                        value = float(value)
+                    elif isinstance(current, tuple):
+                        value = tuple(float(v) for v in value)
+                        if len(value) != len(current):
+                            raise ValueError(value)
+                    else:
+                        continue
+                except (TypeError, ValueError):
+                    if self.logger:
+                        self.logger.warn(
+                            f"rejected light {index} {key}={value!r}")
+                    continue
+                setattr(li, key, value)
+            self._interactive()
+            self.renderer.reset_accumulation()
+
 
 def _make_handler(state: ViewerState):
     class Handler(BaseHTTPRequestHandler):
@@ -383,6 +517,8 @@ def _make_handler(state: ViewerState):
                 state.fly(body.get("keys", []), float(body.get("dt", 0.016)))
             elif path == "/settings":
                 state.update_settings(body)
+            elif path == "/light":
+                state.update_light(int(body.pop("index", -1)), body)
             elif path == "/focus":
                 d = state.focus(float(body.get("x", 0)), float(body.get("y", 0)))
                 self._send(200, json.dumps(
@@ -470,6 +606,8 @@ def asgi_app(renderer, logger=None):
                 state.fly(data.get("keys", []), float(data.get("dt", 0.016)))
             elif path == "/settings":
                 state.update_settings(data)
+            elif path == "/light":
+                state.update_light(int(data.pop("index", -1)), data)
             elif path == "/focus":
                 d = state.focus(float(data.get("x", 0)), float(data.get("y", 0)))
                 await respond(200, json.dumps(
