@@ -85,7 +85,7 @@ def main() -> int:
         r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
         has_env=False, has_volume=False, clip=None)
     px, py = r._pixel_grids()
-    out = {"scene": args.scene or args.molecule,
+    out = {"scene": args.molecule or args.scene,
            "resolution": f"{args.width}x{args.height}",
            "rays": int(px.shape[0]), "max_bounces": flags.max_bounces,
            "num_clusters": int(r.scene.num_clusters)}

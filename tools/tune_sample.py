@@ -84,7 +84,7 @@ def main() -> int:
         r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
         has_env=False, has_volume=False, clip=None)
     px, py = r._pixel_grids()
-    out = {"scene": args.scene or args.molecule, "rays": int(px.shape[0])}
+    out = {"scene": args.molecule or args.scene, "rays": int(px.shape[0])}
 
     # Primary kernel trace in isolation.
     @jax.jit

@@ -423,8 +423,37 @@ def _pop_nearest(ev, kio):
     return m, idx
 
 
-def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bb_ref, o3, d3,
-                         t_min, active, types, clip, bt_ref, at_ref):
+def _sweep_cols(cols, soa_ref, k, types, clip, ct_ref, apply):
+    """Run cluster k's intersector sweep and hand ts to `apply`. Clusters
+    are type-homogeneous (scene/compile._build_clusters): on multi-type
+    scenes branch on the cluster's type scalar and run ONLY that
+    intersector — ball-and-stick sweeps stop paying cylinder math on
+    sphere clusters. ct < 0 falls back to the combined test."""
+    has_sph, has_cyl, has_tri = types
+    if has_sph + has_cyl + has_tri <= 1:
+        apply(_prim_ts_cols(cols, soa_ref, k, types, clip))
+        return
+    ct = ct_ref[k]
+    if has_sph:
+        @pl.when(ct == PRIM_SPHERE)
+        def _():
+            apply(_prim_ts_cols(cols, soa_ref, k, (True, False, False), clip))
+    if has_cyl:
+        @pl.when(ct == PRIM_CYLINDER)
+        def _():
+            apply(_prim_ts_cols(cols, soa_ref, k, (False, True, False), clip))
+    if has_tri:
+        @pl.when(ct == PRIM_TRIANGLE)
+        def _():
+            apply(_prim_ts_cols(cols, soa_ref, k, (False, False, True), clip))
+
+    @pl.when(ct < 0)
+    def _():
+        apply(_prim_ts_cols(cols, soa_ref, k, types, clip))
+
+
+def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bb_ref, ct_ref,
+                         o3, d3, t_min, active, types, clip, bt_ref, at_ref):
     """Closest hit over active lanes, returning (t [BLOCK] with BIG miss,
     attrs [BLOCK, 32]) where attrs rows = 16 SoA rows ++ 16 shading rows of
     the winning primitive, extracted by per-sweep one-hot MXU matmuls.
@@ -448,24 +477,27 @@ def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bb_ref, o3, d3,
 
     def body(carry):
         ev, _, k = carry
-        ts = _prim_ts_cols(cols, soa_ref, k, types, clip)
-        tsv = jnp.where(ts > 0.0, ts, BIG)
-        best = bt_ref[:, 0]
-        m = jnp.min(tsv, axis=1)
-        improved = m < best
-        packed = jnp.where(tsv == m[:, None], lane, jnp.int32(2 ** 30))
-        wl = jnp.min(packed, axis=1)
-        onehot = ((lane == wl[:, None]) & improved[:, None]).astype(jnp.float32)
-        table = attr_ref[pl.ds(k * 128, 128), :]                 # [C, 32]
-        new_attrs = jax.lax.dot_general(
-            onehot, table, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [BLOCK, 32]
-        at_ref[:] = jnp.where(improved[:, None], new_attrs, at_ref[:])
-        best = jnp.where(improved, m, best)
-        bt_ref[:] = best[:, None]
+
+        def apply(ts):
+            tsv = jnp.where(ts > 0.0, ts, BIG)
+            best = bt_ref[:, 0]
+            m = jnp.min(tsv, axis=1)
+            improved = m < best
+            packed = jnp.where(tsv == m[:, None], lane, jnp.int32(2 ** 30))
+            wl = jnp.min(packed, axis=1)
+            onehot = ((lane == wl[:, None])
+                      & improved[:, None]).astype(jnp.float32)
+            table = attr_ref[pl.ds(k * 128, 128), :]             # [C, 32]
+            new_attrs = jax.lax.dot_general(
+                onehot, table, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [BLOCK, 32]
+            at_ref[:] = jnp.where(improved[:, None], new_attrs, at_ref[:])
+            bt_ref[:] = jnp.where(improved, m, best)[:, None]
+
+        _sweep_cols(cols, soa_ref, k, types, clip, ct_ref, apply)
         ev = jnp.where(kio == k, INF, ev)
         e_next, k_next = _pop_nearest(ev, kio)
-        bound = jnp.max(best)
+        bound = jnp.max(bt_ref[:, 0])
         e_next = jnp.where(e_next < bound, e_next, INF)
         return ev, e_next, k_next
 
@@ -474,8 +506,8 @@ def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bb_ref, o3, d3,
     return jnp.where(active > 0.0, bt_ref[:, 0], BIG), at_ref[:]
 
 
-def _trace_any_1d(num_k, kpad, soa_ref, bb_ref, o3, d3, t_min, accept_lo,
-                  active, types, clip, fd_ref):
+def _trace_any_1d(num_k, kpad, soa_ref, bb_ref, ct_ref, o3, d3, t_min,
+                  accept_lo, active, types, clip, fd_ref):
     """Occlusion query over active lanes (f32 mask): [BLOCK] f32 mask of
     occluded lanes. fd_ref is an i32 [BLOCK,1] VMEM scratch."""
     cols = (d3[0][:, None], d3[1][:, None], d3[2][:, None],
@@ -490,14 +522,16 @@ def _trace_any_1d(num_k, kpad, soa_ref, bb_ref, o3, d3, t_min, accept_lo,
 
     def body(carry):
         ev, _, k = carry
-        ts = _prim_ts_cols(cols, soa_ref, k, types, clip)
-        hit = jnp.any((ts > lo_col) & (ts < BIG) & act_col, axis=1)
-        f = fd_ref[:, 0] | hit.astype(jnp.int32)
-        fd_ref[:] = f[:, None]
+
+        def apply(ts):
+            hit = jnp.any((ts > lo_col) & (ts < BIG) & act_col, axis=1)
+            fd_ref[:] = (fd_ref[:, 0] | hit.astype(jnp.int32))[:, None]
+
+        _sweep_cols(cols, soa_ref, k, types, clip, ct_ref, apply)
         ev = jnp.where(kio == k, INF, ev)
         e_next, k_next = _pop_nearest(ev, kio)
         # Stop when every live lane is occluded.
-        open_ = jnp.max(active - f.astype(jnp.float32)) > 0.0
+        open_ = jnp.max(active - fd_ref[:, 0].astype(jnp.float32)) > 0.0
         e_next = jnp.where(open_, e_next, INF)
         return ev, e_next, k_next
 
@@ -571,8 +605,8 @@ def _make_path_kernel(flags_key, types, kpad):
      surface_flag_mode, with_stats) = flags_key
 
     def kernel(num_k_ref, ints_ref, params_ref, px_ref, py_ref,
-               soa_ref, attr_ref, bb_ref, r_out, g_out, b_out, n_out,
-               st_ref, si_ref, bt_ref, at_ref, fd_ref):
+               soa_ref, attr_ref, bb_ref, ct_ref, r_out, g_out, b_out,
+               n_out, st_ref, si_ref, bt_ref, at_ref, fd_ref):
         num_k = num_k_ref[0]
         frame = ints_ref[0]
         sample = ints_ref[1]
@@ -648,8 +682,8 @@ def _make_path_kernel(flags_key, types, kpad):
             if with_stats:
                 si_ref[1, :] = si_ref[1, :] + (alive > 0.0).astype(jnp.int32)
             t, attrs = _trace_closest_attrs(
-                num_k, kpad, soa_ref, attr_ref, bb_ref, o, d, t_min, alive,
-                types, clip, bt_ref, at_ref)
+                num_k, kpad, soa_ref, attr_ref, bb_ref, ct_ref, o, d, t_min,
+                alive, types, clip, bt_ref, at_ref)
             hit = attrs[:, 11] >= 0.0
 
             # --- miss -> ambient (no env on this path), then cull ----------
@@ -858,7 +892,7 @@ def _make_path_kernel(flags_key, types, kpad):
                             si_ref[1, :] = (si_ref[1, :]
                                             + candidate.astype(jnp.int32))
                         occ = _trace_any_1d(num_k, kpad, soa_ref, bb_ref,
-                                            shadow_o, ldir, t_min,
+                                            ct_ref, shadow_o, ldir, t_min,
                                             shadow_min, candidate, types,
                                             clip, fd_ref)
                         lit = (candidate > 0.0) & (occ <= 0.0)
@@ -1095,6 +1129,12 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
     bb = jnp.concatenate([jnp.asarray(scene.cluster_bmin, jnp.float32),
                           jnp.asarray(scene.cluster_bmax, jnp.float32),
                           jnp.zeros((k, 2), jnp.float32)], axis=1)
+    # Per-cluster type for the sweep dispatch (-1 = mixed/hand-built).
+    prow = jnp.asarray(scene.cluster_soa)[:, 11, :]
+    valid = prow >= 0
+    tmax = jnp.max(jnp.where(valid, prow, -1.0), axis=1)
+    tmn = jnp.min(jnp.where(valid, prow, 99.0), axis=1)
+    ct = jnp.where((tmax == tmn) & (tmax >= 0), tmax, -1.0).astype(jnp.int32)
 
     # Enabled lights packed first so the kernel's light fori only walks
     # them (RNG order preserved: enabled lights in index order).
@@ -1122,7 +1162,8 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
             pl.BlockSpec((BLOCK,), lambda i, s: (i,)),       # py
             pl.BlockSpec((k * ROWS, 128), lambda i, s: (0, 0)),
             pl.BlockSpec((k * 128, 32), lambda i, s: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # bb -> scalar?
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # bb
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # cluster types
         ],
         out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
                    for _ in range(4)],
@@ -1146,6 +1187,7 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.array([k], jnp.int32), ints, params, px_i, py_i, soa16, attr, bb)
+    )(jnp.array([k], jnp.int32), ints, params, px_i, py_i, soa16, attr, bb,
+      ct)
     radiance = (r[:n], g[:n], b[:n])
     return radiance, jnp.sum(nrays[:n])

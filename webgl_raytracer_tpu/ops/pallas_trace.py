@@ -39,9 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.bvh import PRIM_CYLINDER, PRIM_SPHERE, PRIM_TRIANGLE
 
+import os
+
 BIG = np.float32(1e20)
 INF = np.float32(np.inf)
-BLOCK = 1024          # rays per kernel program
+# Rays per kernel program. Smaller blocks have tighter frustums (fewer
+# cluster visits) but more per-program overhead; 1024 measured best on
+# the scaling scenes (WRT_TRACE_BLOCK overrides for experiments).
+BLOCK = int(os.environ.get("WRT_TRACE_BLOCK", "1024"))
 ROWS = 16             # SoA rows per cluster (12 data + 4 pad for alignment)
 MAX_CLUSTERS = 4096   # SoA VMEM budget: K * 16 * 128 * 4B = 32 MB at 4096
 
