@@ -199,3 +199,34 @@ def test_large_k_multigroup(large_scene):
     fp = PS.trace_any(large_scene, o3, d3, tmin, t_max=60.0,
                       accept_min=jnp.full(tmin.shape, 0.01), interpret=True)
     assert (np.asarray(fd) == np.asarray(fp)).mean() > 0.999
+
+
+def test_masked_traces_match_dense(sphere_scene, rays):
+    """Activity-masked traces: the kernel's masked early exits (inactive
+    lanes seeded found / -BIG bound) must not change active-lane results,
+    and inactive lanes must come back miss/False."""
+    o3, d3, tmin = rays
+    n = tmin.shape[0]
+    active = jnp.asarray((np.arange(n) % 3) != 0)
+    rec = W._dense_trace(sphere_scene, o3, d3, tmin, None, any_hit=False,
+                         accept_min=None, t_max=None, active=active)
+    ct, cr = PS.trace_closest(sphere_scene, o3, d3, tmin, active=active,
+                              interpret=True)
+    act = np.asarray(active)
+    dhit = np.asarray(rec.prim_type >= 0)
+    phit = np.asarray(cr) >= 0
+    assert not phit[~act].any()
+    assert (dhit[act] == phit[act]).mean() > 0.999
+    both = dhit & phit & act
+    assert np.allclose(np.asarray(ct)[both], np.asarray(rec.t)[both],
+                       rtol=2e-4, atol=1e-4)
+
+    fd = W._dense_trace(sphere_scene, o3, d3, tmin, None, any_hit=True,
+                        accept_min=jnp.full(tmin.shape, 0.01), t_max=25.0,
+                        active=active)
+    fp = PS.trace_any(sphere_scene, o3, d3, tmin, t_max=25.0,
+                      accept_min=jnp.full(tmin.shape, 0.01), active=active,
+                      interpret=True)
+    fp = np.asarray(fp)
+    assert not fp[~act].any()
+    assert (np.asarray(fd)[act] == fp[act]).mean() > 0.999

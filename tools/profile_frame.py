@@ -1,53 +1,33 @@
 #!/usr/bin/env python3
-"""Frame-cost decomposition: where a progressive sample's time goes.
+"""Frame-cost decomposition: where a progressive frame's time goes.
 
-The renderer's frame is one fused XLA program, so stage costs are measured
-by jitting each stage in isolation (ray generation, primary traversal,
-hit-first permutation, one shading chunk, full frame). Timings are
-best-of-N on the current backend; on shared-tunnel TPU rigs only
-within-run comparisons are meaningful.
+Single-dispatch stage timings are useless on this rig: the tunnel's
+per-dispatch floor (25-270 ms depending on slice) swamps the stages, and
+bit-identical (executable, input) pairs can be served from cache. So every
+number here comes from FUSED multi-frame blocks (render_frames-style scan,
+floor amortized 1/frames) of flag VARIANTS in one process, and the stage
+costs are the differences:
+
+  shadows_ms      = full - cast_shadows=False
+  secondary_ms    = full - max_bounces=1   (secondary closest + their shadows)
+  one_bounce_no_shadows ~ raygen + primary trace + permutation + shading
+  permutation_gain= WRT_NO_PERM frame - full (how much compaction buys)
 
 Usage:
-  python tools/profile_frame.py --scene spheres1000 --width 1920 --height 1080
-  python tools/profile_frame.py --molecule caffeine --frames 3
+  python tools/profile_frame.py --scene spheres1000 --out PROFILE_r02.json
+  python tools/profile_frame.py --molecule caffeine
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
+import json
 import os
 import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import json
 import time
 
-
-def best_ms(fn, *args, reps=4):
-    # Perturb the first f32 argument per rep and force D2H: the tunnel
-    # backend serves bit-identical (executable, input) pairs from cache,
-    # which turns same-input timing loops into dispatch-latency probes.
-    import jax
-    import numpy as np
-
-    def _go(i):
-        if args:
-            head = jax.tree_util.tree_map(
-                lambda x: x + np.float32(i) * np.float32(1e-12)
-                if hasattr(x, "dtype") and x.dtype == np.float32 else x,
-                args[0])
-            out = fn(head, *args[1:])
-        else:
-            out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-
-    _go(0)
-    best = float("inf")
-    for i in range(1, reps + 1):
-        t0 = time.perf_counter()
-        _go(i)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1000.0
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -56,7 +36,9 @@ def main() -> None:
     ap.add_argument("--molecule")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=10,
+                    help="frames per fused block (floor amortization)")
+    ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--out", help="also write the JSON report to this path")
     args = ap.parse_args()
 
@@ -68,19 +50,20 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from webgl_raytracer_tpu.app.pipeline import (
-        load_molecule_scene, load_random_spheres)
+    from webgl_raytracer_tpu.app.pipeline import (load_molecule_scene,
+                                                  load_random_spheres)
     from webgl_raytracer_tpu.models import get_builtin_molecule
     from webgl_raytracer_tpu.render import Renderer
     from webgl_raytracer_tpu.render.config import split_settings
+    from webgl_raytracer_tpu.render.frame import _render_frames_fused
+    from webgl_raytracer_tpu.render.integrator import (_closest_hit,
+                                                       generate_camera_rays)
     from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
-    import webgl_raytracer_tpu.render.integrator as I
 
     if args.molecule:
         loaded = load_molecule_scene(get_builtin_molecule(args.molecule))
     else:
-        count = int(args.scene.replace("spheres", "") or 1000)
-        loaded = load_random_spheres(count)
+        loaded = load_random_spheres(int(args.scene.replace("spheres", "")))
 
     r = Renderer(loaded.scene, width=args.width, height=args.height)
     r.settings.tone_map = "linear"
@@ -91,62 +74,75 @@ def main() -> None:
         has_env=False, has_volume=False, clip=None)
     px, py = r._pixel_grids()
     n = px.shape[0]
+    prev = jnp.zeros((n, 3), jnp.float32)
 
-    @jax.jit
-    def raygen(u, px, py):
-        return I.generate_camera_rays(u, flags, px, py, jnp.uint32(0),
-                                      jnp.uint32(0))
+    def make_block(f2, env_kv=None):
+        """Compile a fused `frames`-frame block under flags f2; returns a
+        runner(start)."""
+        if env_kv:
+            os.environ[env_kv[0]] = env_kv[1]
+        try:
+            def block(start):
+                out = _render_frames_fused(
+                    r.scene, None, None, f2, uniforms, px, py,
+                    jnp.int32(start), prev, args.frames)
+                np.asarray(out)
 
-    seed, o3, d3 = raygen(uniforms, px, py)
-    jax.block_until_ready(o3[0])
+            block(0)   # compile (env var read at trace time)
+            return block
+        finally:
+            if env_kv:
+                del os.environ[env_kv[0]]
 
-    @jax.jit
-    def primary(scene, u, o3, d3):
-        tmin = jnp.broadcast_to(jnp.float32(u.t_min), o3[0].shape)
-        return I._closest_hit(scene, flags, o3, d3, tmin, None)
-
-    rec = primary(r.scene, uniforms, o3, d3)
-    jax.block_until_ready(rec.t)
-
-    @jax.jit
-    def perm(seed, o3, d3, rec):
-        p, inv = I._tile_permutation(rec.prim_type >= 0, I._PERM_BLOCK)
-        g = lambda a: a.reshape((n // I._PERM_BLOCK, I._PERM_BLOCK)
-                                + a.shape[1:])[p].reshape(a.shape)
-        return jax.tree_util.tree_map(g, (seed, o3, d3, rec.t))
-
-    def frame():
-        r.render_frames(1)
-        return r._accum
-
-    # Full-sample A/B: block-permuted compaction vs relying on the Morton
-    # tile order's natural coherence alone (WRT_NO_PERM, read at trace time
-    # so each wrapper bakes its own variant).
-    fs_perm = jax.jit(lambda u, px, py: I._sample_radiance(
-        r.scene, None, None, flags, u, px, py, jnp.uint32(0), 0)[0])
-    os.environ["WRT_NO_PERM"] = "1"
-    fs_noperm = jax.jit(lambda u, px, py: I._sample_radiance(
-        r.scene, None, None, flags, u, px, py, jnp.uint32(0), 0)[0])
-    jax.block_until_ready(fs_noperm(uniforms, px, py)[0])
-    del os.environ["WRT_NO_PERM"]
-
-    stages = {
-        "ray_generation": best_ms(raygen, uniforms, px, py),
-        "primary_closest_trace": best_ms(primary, r.scene, uniforms, o3, d3),
-        "hit_first_permutation": best_ms(perm, seed, o3, d3, rec),
-        "sample_permuted": best_ms(fs_perm, uniforms, px, py),
-        "sample_no_permutation": best_ms(fs_noperm, uniforms, px, py),
-        "full_frame": best_ms(frame),
+    variants = {
+        "full": make_block(flags),
+        "no_shadows": make_block(
+            dataclasses.replace(flags, cast_shadows=False)),
+        "one_bounce": make_block(dataclasses.replace(flags, max_bounces=1)),
+        "no_permutation": make_block(flags, env_kv=("WRT_NO_PERM", "1")),
+        "one_bounce_no_shadows": make_block(
+            dataclasses.replace(flags, max_bounces=1, cast_shadows=False)),
     }
+    # Interleave reps round-robin so tunnel-slice drift between variants
+    # cancels (a variant measured minutes later can read 30% off).
+    best = {k: float("inf") for k in variants}
+    for i in range(1, args.reps + 1):
+        for k, block in variants.items():
+            t0 = time.perf_counter()
+            block(i * args.frames)  # varying start defeats input caching
+            best[k] = min(best[k], time.perf_counter() - t0)
+    per = {k: v * 1000.0 / args.frames for k, v in best.items()}
+    full = per["full"]
+    noshadow = per["no_shadows"]
+    bounce1 = per["one_bounce"]
+    noperm = per["no_permutation"]
+    b1_ns = per["one_bounce_no_shadows"]
+
+    # Primary hit fraction for context.
+    _, o3, d3 = jax.jit(lambda u: generate_camera_rays(
+        u, flags, px, py, jnp.uint32(0), jnp.uint32(0)))(uniforms)
+    tmin = jnp.broadcast_to(jnp.float32(uniforms.t_min), o3[0].shape)
+    rec = jax.jit(lambda o3, d3: _closest_hit(
+        r.scene, flags, o3, d3, tmin, None))(o3, d3)
     hit_frac = float(np.asarray(rec.prim_type >= 0).mean())
+
     report = {
         "resolution": f"{args.width}x{args.height}",
-        "rays": n,
+        "rays": int(n),
+        "frames_per_block": args.frames,
         "primary_hit_fraction": round(hit_frac, 4),
-        "stages_ms": {k: round(v, 2) for k, v in stages.items()},
-        "shade_tail_ms": round(
-            stages["full_frame"] - stages["primary_closest_trace"]
-            - stages["hit_first_permutation"] - stages["ray_generation"], 2),
+        "per_frame_ms": {
+            "full": round(full, 1),
+            "one_bounce_no_shadows": round(b1_ns, 1),
+            "no_shadows": round(noshadow, 1),
+            "one_bounce": round(bounce1, 1),
+            "no_permutation": round(noperm, 1),
+        },
+        "derived_ms": {
+            "shadow_rays": round(full - noshadow, 1),
+            "secondary_bounces_incl_shadows": round(full - bounce1, 1),
+            "permutation_gain": round(noperm - full, 1),
+        },
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(report, indent=2))
