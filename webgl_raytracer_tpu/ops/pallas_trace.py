@@ -118,24 +118,21 @@ def _root_gate(cp_ref, od):
     return jnp.any(ok & (tf >= jnp.maximum(tn, 0.0)))
 
 
-def _prim_ts(a_blk, soa_ref, k, types, clip=None):
+def _prim_ts(cols, soa_ref, k, types, clip=None):
     """[BLOCK, C] candidate hit distances for cluster k (-1 = no hit).
-    Same per-type math as ops/wavefront.intersect_soa_t; `types` is the
-    static (has_spheres, has_cylinders, has_triangles) triple; `clip` is
-    None or ((nx, ny, nz), offset, side) scalars — triangle hits on the
-    clipped side are rejected (webgl.js:384-390)."""
+    `cols` = (dx, dy, dz, ox, oy, oz, tmin) as [B, 1] columns sliced from
+    the lane-major od operand — a 2nd-minor-axis [B, 16] operand would be
+    tile-padded 8x by Mosaic (measured ~1 GB of wasted HBM per 1080p
+    traversal). Same per-type math as ops/wavefront.intersect_soa_t;
+    `types` is the static (has_spheres, has_cylinders, has_triangles)
+    triple; `clip` is None or ((nx, ny, nz), offset, side) scalars —
+    triangle hits on the clipped side are rejected (webgl.js:384-390)."""
     has_sph, has_cyl, has_tri = types
 
     def row(i):
         return soa_ref[pl.ds(k * ROWS + i, 1), :]     # [1, C]
 
-    dx = a_blk[:, 0:1]
-    dy = a_blk[:, 1:2]
-    dz = a_blk[:, 2:3]
-    ox = a_blk[:, 3:4]
-    oy = a_blk[:, 4:5]
-    oz = a_blk[:, 5:6]
-    tmin = a_blk[:, 6:7]
+    dx, dy, dz, ox, oy, oz, tmin = cols
     ptype = row(11)
     ra = row(3)
 
@@ -315,7 +312,7 @@ def _pop_nearest(ev, kio):
     return m, idx
 
 
-def _sweep_cluster(a_blk, soa_ref, k, types, clip, ct_ref, apply):
+def _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply):
     """Run one cluster's intersector sweep and hand ts to `apply`.
 
     Clusters are type-homogeneous (scene/compile._build_clusters), so on
@@ -325,32 +322,33 @@ def _sweep_cluster(a_blk, soa_ref, k, types, clip, ct_ref, apply):
     fallback keeps hand-built mixed clusters correct."""
     has_sph, has_cyl, has_tri = types
     if has_sph + has_cyl + has_tri <= 1:
-        apply(_prim_ts(a_blk, soa_ref, k, types, clip))
+        apply(_prim_ts(cols, soa_ref, k, types, clip))
         return
     ct = ct_ref[k]
     if has_sph:
         @pl.when(ct == PRIM_SPHERE)
         def _():
-            apply(_prim_ts(a_blk, soa_ref, k, (True, False, False), clip))
+            apply(_prim_ts(cols, soa_ref, k, (True, False, False), clip))
     if has_cyl:
         @pl.when(ct == PRIM_CYLINDER)
         def _():
-            apply(_prim_ts(a_blk, soa_ref, k, (False, True, False), clip))
+            apply(_prim_ts(cols, soa_ref, k, (False, True, False), clip))
     if has_tri:
         @pl.when(ct == PRIM_TRIANGLE)
         def _():
-            apply(_prim_ts(a_blk, soa_ref, k, (False, False, True), clip))
+            apply(_prim_ts(cols, soa_ref, k, (False, False, True), clip))
 
     @pl.when(ct < 0)
     def _():
-        apply(_prim_ts(a_blk, soa_ref, k, types, clip))
+        apply(_prim_ts(cols, soa_ref, k, types, clip))
 
 
 def _make_closest_kernel(types, kpad, clip_on=False):
-    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
+    def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
                ct_ref, t_out, row_out, bt_ref, bk_ref, ev_ref):
-        a_blk = a_ref[:]
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
+        cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
+            od_ref[8, :][:, None],)
         num_k = num_k_ref[0]
         clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
                 if clip_on else None)
@@ -382,7 +380,7 @@ def _make_closest_kernel(types, kpad, clip_on=False):
                     bt_ref[:] = jnp.where(upd, ts, bt)
                     bk_ref[:] = jnp.where(upd, k, bk_ref[:])
 
-                _sweep_cluster(a_blk, soa_ref, k, types, clip, ct_ref, apply)
+                _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply)
                 ev = jnp.where(kio == k, INF, ev)
                 e_next, k_next = _pop_nearest(ev, kio)
                 # Farthest per-ray closest hit; no-hit rays keep it at
@@ -412,13 +410,14 @@ def _make_closest_kernel(types, kpad, clip_on=False):
 
 
 def _make_any_kernel(types, kpad, clip_on=False):
-    def kernel(num_k_ref, a_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
+    def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
                ct_ref, found_out, found_ref, ev_ref):
-        a_blk = a_ref[:]
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
+        cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
+            od_ref[8, :][:, None],)
         t_hi = od_ref[6, :]
-        lo_col = a_blk[:, 7:8]
-        hi_col = a_blk[:, 8:9]
+        lo_col = od_ref[9, :][:, None]
+        hi_col = od_ref[6, :][:, None]
         num_k = num_k_ref[0]
         clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
                 if clip_on else None)
@@ -445,7 +444,7 @@ def _make_any_kernel(types, kpad, clip_on=False):
                     hit = jnp.any((ts > lo_col) & (ts < hi_col), axis=1)
                     found_ref[:] = found_ref[:] | hit.astype(jnp.int32)
 
-                _sweep_cluster(a_blk, soa_ref, k, types, clip, ct_ref, apply)
+                _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply)
                 f = found_ref[:]
                 ev = jnp.where(kio == k, INF, ev)
                 e_next, k_next = _pop_nearest(ev, kio)
@@ -524,27 +523,24 @@ def _scene_operands(scene):
 
 
 def _ray_operands(o3, d3, t_min, accept_lo, t_hi, mid, n_pad, active=None):
-    """A [Np, 16] per-ray columns (d, centered o, tmin, accept_lo, t_hi)
-    and od [8, Np] 1-D rows (d, centered o, t_hi, activity mask)."""
+    """od [16, Np] lane-major per-ray rows: 0-5 = d, centered o; 6 = t_hi;
+    7 = activity mask; 8 = t_min; 9 = accept_lo; 10-15 pad. One operand —
+    a 2nd-minor [Np, 16] layout would be tile-padded 8x by Mosaic."""
     n = o3[0].shape[0]
     ox, oy, oz = (o3[i] - mid[i] for i in range(3))
     dx, dy, dz = d3
     zero = jnp.zeros((n,), jnp.float32)
     act = (jnp.ones((n,), jnp.float32) if active is None
            else active.astype(jnp.float32))
-    cols = [dx, dy, dz, ox, oy, oz, t_min, accept_lo, t_hi,
-            zero, zero, zero, zero, zero, zero, zero]
-    a = jnp.stack(cols, axis=1)
-    od = jnp.stack([dx, dy, dz, ox, oy, oz, t_hi, act], axis=0)
+    od = jnp.stack([dx, dy, dz, ox, oy, oz, t_hi, act, t_min, accept_lo,
+                    zero, zero, zero, zero, zero, zero], axis=0)
     if n_pad != n:
-        a = jnp.concatenate(
-            [a, jnp.zeros((n_pad - n, 16), jnp.float32)], axis=0)
         od = jnp.concatenate(
-            [od, jnp.zeros((8, n_pad - n), jnp.float32)], axis=1)
-    return a, od
+            [od, jnp.zeros((16, n_pad - n), jnp.float32)], axis=1)
+    return od
 
 
-def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bbT, bgT,
+def _grid_call(kernel, is_closest, n_pad, k, outs, od, soa, bbT, bgT,
                cp, ct, interpret):
     nb = n_pad // BLOCK
     kp = _kpad(k)
@@ -558,8 +554,7 @@ def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bbT, bgT,
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((BLOCK, 16), lambda i, s: (i, 0)),
-            pl.BlockSpec((8, BLOCK), lambda i, s: (0, i)),
+            pl.BlockSpec((16, BLOCK), lambda i, s: (0, i)),
             pl.BlockSpec((k * ROWS, 128), lambda i, s: (0, 0)),
             pl.BlockSpec((8, kp), lambda i, s: (0, 0)),
             pl.BlockSpec((8, 128), lambda i, s: (0, 0)),
@@ -577,7 +572,7 @@ def _grid_call(kernel, is_closest, n_pad, k, outs, a, od, soa, bbT, bgT,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.array([k], jnp.int32), a, od, soa, bbT, bgT, cp, ct)
+    )(jnp.array([k], jnp.int32), od, soa, bbT, bgT, cp, ct)
 
 
 # With only a handful of clusters the XLA dense sweep has no culling to
@@ -627,13 +622,13 @@ def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
     n_pad = -(-n // BLOCK) * BLOCK
     soa, bbT, bgT, mid, ct = _scene_operands(scene)
     cp, clip_on = _scalar_operand(clip, mid, scene)
-    a, od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
-                          jnp.full((n,), BIG), mid, n_pad, active=active)
+    od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
+                        jnp.full((n,), BIG), mid, n_pad, active=active)
     t, row = _grid_call(
         _make_closest_kernel(_types(scene), _kpad(scene.num_clusters),
                              clip_on),
         True, n_pad, scene.num_clusters, (jnp.float32, jnp.int32),
-        a, od, soa, bbT, bgT, cp, ct, interpret)
+        od, soa, bbT, bgT, cp, ct, interpret)
     closest = t[:n]
     best_row = row[:n]
     if active is not None:
@@ -655,11 +650,11 @@ def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
     hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     soa, bbT, bgT, mid, ct = _scene_operands(scene)
     cp, clip_on = _scalar_operand(clip, mid, scene)
-    a, od = _ray_operands(o3, d3, t_min, lo, hi, mid, n_pad, active=active)
+    od = _ray_operands(o3, d3, t_min, lo, hi, mid, n_pad, active=active)
     (found,) = _grid_call(
         _make_any_kernel(_types(scene), _kpad(scene.num_clusters), clip_on),
         False, n_pad, scene.num_clusters, (jnp.int32,),
-        a, od, soa, bbT, bgT, cp, ct, interpret)
+        od, soa, bbT, bgT, cp, ct, interpret)
     found = found[:n] != 0
     if active is not None:
         found = found & active
