@@ -87,23 +87,27 @@ def _render_frames_tiles(scene, env, vol, flags, uniforms, px, py, start_frame,
 
     from jax.experimental.shard_map import shard_map
 
-    from ..render.integrator import render_batch
+    from ..render.integrator import render_batch_v3
 
     local_flags = dataclasses.replace(flags, distributed=False)
 
     def body(px_l, py_l, prev_l):
         def step(accum, k):
             frame_index = start_frame + k
-            color = render_batch(scene, env, vol, local_flags, uniforms,
-                                 px_l, py_l, frame_index.astype(jnp.uint32))
+            color = render_batch_v3(scene, env, vol, local_flags, uniforms,
+                                    px_l, py_l,
+                                    frame_index.astype(jnp.uint32))
             fi = frame_index.astype(jnp.float32)
-            accum = jnp.where(frame_index == 0, color,
-                              (accum * fi + color) / (fi + 1.0))
+            accum = tuple(
+                jnp.where(frame_index == 0, color[c],
+                          (accum[c] * fi + color[c]) / (fi + 1.0))
+                for c in range(3))
             return accum, None
 
-        accum, _ = jax.lax.scan(step, prev_l,
+        prev3 = (prev_l[:, 0], prev_l[:, 1], prev_l[:, 2])
+        accum, _ = jax.lax.scan(step, prev3,
                                 jnp.arange(count, dtype=jnp.int32))
-        return accum
+        return jnp.stack(accum, axis=-1)
 
     fn = shard_map(
         body,

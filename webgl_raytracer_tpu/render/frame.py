@@ -34,20 +34,26 @@ def _render_frames_fused(scene, env, vol, flags, u, px, py, start_frame, prev,
                          count):
     """`count` progressive frames folded into one device program (a scan
     over the frame index) — amortizes per-launch overhead, which dominates
-    when the chip sits behind a high-latency tunnel."""
-    from .integrator import render_batch
+    when the chip sits behind a high-latency tunnel. The accumulator runs
+    in component form (three [B] carries): a [B, 3] carry's 3-wide minor
+    axis tiles to 128 lanes on TPU, turning every accumulate into ~42x
+    the necessary HBM traffic."""
+    from .integrator import render_batch_v3
 
     def step(accum, k):
         frame_index = start_frame + k
-        color = render_batch(scene, env, vol, flags, u, px, py,
-                             frame_index.astype(jnp.uint32))
+        color = render_batch_v3(scene, env, vol, flags, u, px, py,
+                                frame_index.astype(jnp.uint32))
         fi = frame_index.astype(jnp.float32)
-        accum = jnp.where(frame_index == 0, color,
-                          (accum * fi + color) / (fi + 1.0))
+        accum = tuple(
+            jnp.where(frame_index == 0, color[c],
+                      (accum[c] * fi + color[c]) / (fi + 1.0))
+            for c in range(3))
         return accum, None
 
-    accum, _ = jax.lax.scan(step, prev, jnp.arange(count, dtype=jnp.int32))
-    return accum
+    prev3 = (prev[:, 0], prev[:, 1], prev[:, 2])
+    accum, _ = jax.lax.scan(step, prev3, jnp.arange(count, dtype=jnp.int32))
+    return jnp.stack(accum, axis=-1)
 
 
 class Renderer:

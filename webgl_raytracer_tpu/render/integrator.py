@@ -810,16 +810,24 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
     return V.from_array(colors), seed
 
 
-@partial(jax.jit, static_argnames=("flags",))
-def render_batch(scene, env, vol, flags, u, px, py, frame_index):
-    """One progressive sample per pixel -> color f32[B,3] (exposure applied
-    pre-accumulation, webgl.js:1520-1549)."""
+def render_batch_v3(scene, env, vol, flags, u, px, py, frame_index):
+    """One progressive sample per pixel -> color triple of f32[B]
+    (exposure applied pre-accumulation, webgl.js:1520-1549). Component
+    form so fused callers can accumulate without materializing [B, 3]
+    arrays — the 3-wide minor axis tiles to 128 lanes on TPU."""
     total = V.full(px.shape, 0.0)
     for s in range(flags.spp):
         radiance, _ = _sample_radiance(scene, env, vol, flags, u, px, py,
                                        frame_index, s)
         total = V.add(total, radiance)
-    return V.to_array(V.scale(total, u.exposure / flags.spp))
+    return V.scale(total, u.exposure / flags.spp)
+
+
+@partial(jax.jit, static_argnames=("flags",))
+def render_batch(scene, env, vol, flags, u, px, py, frame_index):
+    """One progressive sample per pixel -> color f32[B,3]."""
+    return V.to_array(render_batch_v3(scene, env, vol, flags, u, px, py,
+                                      frame_index))
 
 
 @partial(jax.jit, static_argnames=("flags",))
