@@ -109,15 +109,23 @@ def test_megakernel_later_frame_and_bounces(caffeine):
 
 
 def test_supports_gates():
-    """Env/volume/vis/distributed configs must fall back to XLA."""
+    """Env/volume/vis/distributed configs must fall back to XLA. Fresh
+    settings per case — a leaked vis_mode from an earlier case would make
+    the later gate assertions vacuous."""
     loaded = load_test_primitives()
     r = Renderer(loaded.scene, width=16, height=16)
     basis = r.camera.basis()
-    for kw, env_flag in ((dict(vis_mode=1), False), (dict(), True)):
-        for k, v in kw.items():
-            setattr(r.settings, k, v)
-        flags, _ = split_settings(
-            r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
+    base = r.settings
+
+    def flags_for(env_flag=False, **kw):
+        s = base.replace(**kw) if kw else base
+        f, _ = split_settings(
+            s, basis, light_dirs_for_camera(s.lights, basis),
             has_env=env_flag, has_volume=False, clip=None)
-        assert not PP.supports(r.scene, flags, None, None) or (
-            not env_flag and not kw)
+        return f
+
+    assert PP.supports(r.scene, flags_for(), None, None)
+    assert not PP.supports(r.scene, flags_for(vis_mode=1), None, None)
+    assert not PP.supports(r.scene, flags_for(env_flag=True), None, None)
+    assert not PP.supports(r.scene, flags_for(use_bvh=False), None, None)
+    assert not PP.supports(r.scene, flags_for(tracer="stack"), None, None)

@@ -214,3 +214,40 @@ def test_native_distance_field_matches_numpy():
         finally:
             N._df_lib, N._df_failed = saved
         assert np.abs(g_native.data - g_numpy.data).max() < 1e-4
+
+
+def test_marching_cubes_device_winding_odd_permutation():
+    """Axis canonicalization on an ODD-permutation grid shape (det = -1)
+    must preserve triangle winding. The project's MC convention (numpy
+    backend and identity-order device grids alike) emits cross(e1, e2)
+    OPPOSITE the gradient vertex normals; an odd permutation used to
+    mirror it, silently inverting front-face and glass-eta decisions
+    downstream (render/integrator.py) for those grid shapes only."""
+    from webgl_raytracer_tpu.ops.marching import marching_cubes_device
+
+    def winding_agreement(shape_zyx, center):
+        nz, ny, nx = shape_zyx
+        zs = np.arange(nz) * 0.5
+        ys = np.arange(ny) * 0.5
+        xs = np.arange(nx) * 0.5
+        zz, yy, xx = np.meshgrid(zs, ys, xs, indexing="ij")
+        # Signed distance to a sphere: gradient points outward.
+        d = np.sqrt((xx - center[0]) ** 2 + (yy - center[1]) ** 2
+                    + (zz - center[2]) ** 2) - 2.0
+        v, n, t = marching_cubes_device(
+            d.astype(np.float32), np.zeros(3, np.float32), 0.5, 10.0)
+        assert len(t) > 0
+        e1 = v[t[:, 1]] - v[t[:, 0]]
+        e2 = v[t[:, 2]] - v[t[:, 0]]
+        geo = np.cross(e1, e2)
+        vn = n[t[:, 0]] + n[t[:, 1]] + n[t[:, 2]]
+        dots = np.sum(geo * vn, axis=1)
+        return (dots > 0).mean()
+
+    # Identity-order shape (sizes already descending: nz>=ny>=nx).
+    assert winding_agreement((24, 20, 16), (4.0, 5.0, 6.0)) < 0.01
+    # Single-swap (odd) permutation: shape (16, 20, 24) -> order
+    # (2, 1, 0), det = -1 — the case the fix covers.
+    assert winding_agreement((16, 20, 24), (6.0, 5.0, 4.0)) < 0.01
+    # Cyclic (even) permutation: shape (20, 16, 24) -> order (2, 0, 1).
+    assert winding_agreement((20, 16, 24), (6.0, 4.0, 5.0)) < 0.01

@@ -55,7 +55,6 @@ def main() -> None:
     from webgl_raytracer_tpu.models import get_builtin_molecule
     from webgl_raytracer_tpu.render import Renderer
     from webgl_raytracer_tpu.render.config import split_settings
-    from webgl_raytracer_tpu.render.frame import _render_frames_fused
     from webgl_raytracer_tpu.render.integrator import (_closest_hit,
                                                        generate_camera_rays)
     from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
@@ -78,15 +77,37 @@ def main() -> None:
 
     def make_block(f2, env_kv=None):
         """Compile a fused `frames`-frame block under flags f2; returns a
-        runner(start)."""
+        runner(start). Each variant gets its OWN jitted function — the
+        module-level _render_frames_fused jit is keyed on (flags, shapes),
+        so an env-var variant with identical flags would silently reuse
+        the first variant's executable (the WRT_NO_PERM row measured pure
+        noise before this)."""
+        from webgl_raytracer_tpu.render.integrator import render_batch_v3
+
         if env_kv:
             os.environ[env_kv[0]] = env_kv[1]
         try:
+            @jax.jit
+            def fused(start, prev3):
+                def step(accum, k):
+                    fi_i = start + k
+                    color = render_batch_v3(r.scene, None, None, f2,
+                                            uniforms, px, py,
+                                            fi_i.astype(jnp.uint32))
+                    fi = fi_i.astype(jnp.float32)
+                    return tuple(
+                        jnp.where(fi_i == 0, color[c],
+                                  (accum[c] * fi + color[c]) / (fi + 1.0))
+                        for c in range(3)), None
+
+                out, _ = jax.lax.scan(
+                    step, prev3, jnp.arange(args.frames, dtype=jnp.int32))
+                return out
+
+            prev3 = (prev[:, 0], prev[:, 1], prev[:, 2])
+
             def block(start):
-                out = _render_frames_fused(
-                    r.scene, None, None, f2, uniforms, px, py,
-                    jnp.int32(start), prev, args.frames)
-                np.asarray(out)
+                np.asarray(fused(jnp.int32(start), prev3)[0])
 
             block(0)   # compile (env var read at trace time)
             return block

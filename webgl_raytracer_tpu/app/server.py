@@ -162,14 +162,20 @@ async function refresh() {
   } finally { busy = false; }
 }
 setInterval(refresh, 150);
-img.addEventListener('pointerdown', e => { dragging = true; lastX = e.clientX; lastY = e.clientY;
-  fetch('/orbit', {method:'POST', body: JSON.stringify({start: true})}); });
+let dragStart = false;
+img.addEventListener('pointerdown', e => { dragging = true; dragStart = true;
+  lastX = e.clientX; lastY = e.clientY; });
 window.addEventListener('pointerup', () => dragging = false);
 window.addEventListener('pointermove', async e => {
   if (!dragging) return;
   const dx = e.clientX - lastX, dy = e.clientY - lastY;
   lastX = e.clientX; lastY = e.clientY;
-  if (dx || dy) await fetch('/orbit', {method:'POST', body: JSON.stringify({dx, dy})});
+  if (dx || dy) {
+    // start rides the first move so the lock reset cannot race the moves
+    const body = {dx, dy, start: dragStart};
+    dragStart = false;
+    await fetch('/orbit', {method:'POST', body: JSON.stringify(body)});
+  }
 });
 const hoverbox = document.getElementById('hoverbox');
 const hoverlabel = document.getElementById('hoverlabel');
@@ -328,8 +334,12 @@ class ViewerState:
 
         with self.lock:
             if start:
+                # start arrives INLINE with the first move (one request) —
+                # a separate un-awaited start POST can race later moves and
+                # apply/clear the axis lock out of order.
                 self._rotate_lock = None
-                return
+                if dx == 0 and dy == 0:
+                    return
             self._rotate_lock = resolve_rotation_lock(self._rotate_lock, dx, dy)
             if self._rotate_lock is None:
                 return

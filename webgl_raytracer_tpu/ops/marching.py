@@ -345,6 +345,14 @@ def marching_cubes_device(data, grid_min, resolution, max_dist, isovalue=0.0,
     vx, vy, vz, nx_, ny_, nz_, t0, t1, t2, total = out
     verts = world_stack((vx, vy, vz))[:n_verts]
     normals = world_stack((nx_, ny_, nz_))[:n_verts]
+    # An ODD axis permutation (det = -1) mirrors the mesh: vertex coords
+    # and gradient normals are permuted component-wise (sign-preserving),
+    # but geometric normals from cross(e1, e2) would flip — which inverts
+    # the front-face test and glass eta selection downstream
+    # (render/integrator.py). Swap two index columns to restore winding.
+    odd = order in ((0, 2, 1), (1, 0, 2), (2, 1, 0))
+    if odd:
+        t1, t2 = t2, t1
     tris = np.stack([np.asarray(t0), np.asarray(t1), np.asarray(t2)],
                     axis=1)[:n_tris]
     return verts, normals, tris.astype(np.uint32)

@@ -625,8 +625,8 @@ def _chunk_count(n: int) -> int:
     force = os.environ.get("WRT_CHUNKS")
     if force:
         c = int(force)
-        if c == 1 or (n % c == 0 and (n // c) % TILE == 0):
-            return max(1, c)
+        if c == 1 or (c > 1 and n % c == 0 and (n // c) % TILE == 0):
+            return c
     if n < 2 * CHUNK_TARGET:
         return 1
     best = 1
