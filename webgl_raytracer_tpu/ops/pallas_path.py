@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.bvh import PRIM_CYLINDER, PRIM_SPHERE, PRIM_TRIANGLE
-from .pallas_trace import ROWS, _kpad
+from .pallas_trace import (ROWS, _block_entries, _kpad, _pop_nearest,
+                           _sweep_cluster)
 
 BIG = np.float32(1e20)
 INF = np.float32(np.inf)
@@ -243,230 +244,26 @@ def _power_heuristic(pa, pb):
 # In-kernel traversal over the VMEM cluster SoA (same math/logic as
 # ops/pallas_trace.py, with per-sweep one-hot attribute extraction).
 
-def _prim_ts_cols(cols, soa_ref, k, types, clip):
-    """[BLOCK, C] candidate hit distances for cluster k (-1 = no hit).
-    cols = (dx, dy, dz, ox, oy, oz, tmin) as [BLOCK, 1] columns; `clip` is
-    None or ((nx, ny, nz), offset, side) scalars. Same expressions as
-    pallas_trace._prim_ts / webgl.js:270-541."""
-    has_sph, has_cyl, has_tri = types
-    dx, dy, dz, ox, oy, oz, tmin = cols
-
-    def row(i):
-        return soa_ref[pl.ds(k * ROWS + i, 1), :]     # [1, C]
-
-    ptype = row(11)
-    ra = row(3)
-    t = jnp.full((BLOCK, soa_ref.shape[1]), -1.0, jnp.float32)
-
-    if has_sph:
-        sx = ox - row(0)
-        sy = oy - row(1)
-        sz = oz - row(2)
-        b = sx * dx + sy * dy + sz * dz
-        cterm = sx * sx + sy * sy + sz * sz - ra * ra
-        disc = b * b - cterm
-        ok = disc >= 0.0
-        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
-        t0 = -b - sq
-        t1 = -b + sq
-        ts = jnp.where(t0 > tmin, t0, t1)
-        ts = jnp.where(ok & (ts > tmin), ts, -1.0)
-        t = jnp.where(ptype == PRIM_SPHERE, ts, t)
-
-    if has_cyl:
-        p1x, p1y, p1z = row(0), row(1), row(2)
-        p2x, p2y, p2z = row(4), row(5), row(6)
-        avx = p2x - p1x
-        avy = p2y - p1y
-        avz = p2z - p1z
-        h2 = avx * avx + avy * avy + avz * avz
-        height = jnp.sqrt(h2)
-        degen = height < 1e-6
-        inv_h = 1.0 / jnp.where(degen, 1.0, height)
-        ax_ = avx * inv_h
-        ay_ = avy * inv_h
-        az_ = avz * inv_h
-        ocx = ox - p1x
-        ocy = oy - p1y
-        ocz = oz - p1z
-        dir_dot = dx * ax_ + dy * ay_ + dz * az_
-        oc_dot = ocx * ax_ + ocy * ay_ + ocz * az_
-        dpx = dx - ax_ * dir_dot
-        dpy = dy - ay_ * dir_dot
-        dpz = dz - az_ * dir_dot
-        opx = ocx - ax_ * oc_dot
-        opy = ocy - ay_ * oc_dot
-        opz = ocz - az_ * oc_dot
-        a_q = dpx * dpx + dpy * dpy + dpz * dpz
-        b_q = 2.0 * (dpx * opx + dpy * opy + dpz * opz)
-        c_q = opx * opx + opy * opy + opz * opz - ra * ra
-        disc = b_q * b_q - 4.0 * a_q * c_q
-        okq = (a_q > 1e-8) & (disc >= 0.0)
-        sq = jnp.sqrt(jnp.where(okq, disc, 0.0))
-        den = jnp.where(okq, 2.0 * a_q, 1.0)
-        t1c = (-b_q - sq) / den
-        t2c = (-b_q + sq) / den
-        hh1 = oc_dot + t1c * dir_dot
-        hh2 = oc_dot + t2c * dir_dot
-        ok1 = okq & (t1c > tmin) & (hh1 >= 0.0) & (hh1 <= height)
-        ok2 = okq & ~ok1 & (t2c > tmin) & (hh2 >= 0.0) & (hh2 <= height)
-        tc = jnp.where(ok1, t1c, jnp.where(ok2, t2c, -1.0))
-        for px_, py_, pz_, sign in ((p1x, p1y, p1z, -1.0),
-                                    (p2x, p2y, p2z, 1.0)):
-            qx = ox - px_
-            qy = oy - py_
-            qz = oz - pz_
-            bq = qx * dx + qy * dy + qz * dz
-            cq = qx * qx + qy * qy + qz * qz - ra * ra
-            dq = bq * bq - cq
-            okc = dq >= 0.0
-            sqc = jnp.sqrt(jnp.where(okc, dq, 0.0))
-            tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
-            tq = jnp.where(okc & (tq > tmin), tq, -1.0)
-            h = ((qx + dx * tq) * ax_ + (qy + dy * tq) * ay_
-                 + (qz + dz * tq) * az_)
-            better = (tq > tmin) & ((tc < 0.0) | (tq < tc)) & ((h * sign) >= 0.0)
-            tc = jnp.where(better, tq, tc)
-        qx = ox - p1x
-        qy = oy - p1y
-        qz = oz - p1z
-        bq = qx * dx + qy * dy + qz * dz
-        cq = qx * qx + qy * qy + qz * qz - ra * ra
-        dq = bq * bq - cq
-        okc = dq >= 0.0
-        sqc = jnp.sqrt(jnp.where(okc, dq, 0.0))
-        tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
-        tq = jnp.where(okc & (tq > tmin), tq, -1.0)
-        tc = jnp.where(degen, tq, tc)
-        t = jnp.where(ptype == PRIM_CYLINDER, tc, t)
-
-    if has_tri:
-        v0x, v0y, v0z = row(0), row(1), row(2)
-        e1x = row(4) - v0x
-        e1y = row(5) - v0y
-        e1z = row(6) - v0z
-        e2x = row(8) - v0x
-        e2y = row(9) - v0y
-        e2z = row(10) - v0z
-        px_ = dy * e2z - dz * e2y
-        py_ = dz * e2x - dx * e2z
-        pz_ = dx * e2y - dy * e2x
-        det = e1x * px_ + e1y * py_ + e1z * pz_
-        okt = jnp.abs(det) >= 1e-6
-        inv = 1.0 / jnp.where(okt, det, 1.0)
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
-        u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv
-        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-        okt &= (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > tmin)
-        tt = jnp.where(okt, tt, -1.0)
-        if clip is not None:
-            (cnx, cny, cnz), coff, cside = clip
-            # Clip rejection (webgl.js:384-390): triangle hits on the
-            # clipped side are discarded.
-            hx = ox + dx * tt
-            hy = oy + dy * tt
-            hz = oz + dz * tt
-            s = hx * cnx + hy * cny + hz * cnz - coff
-            tt = jnp.where(s * cside > 0.0, -1.0, tt)
-        t = jnp.where(ptype == PRIM_TRIANGLE, tt, t)
-
-    return jnp.where(ptype >= 0.0, t, -1.0)
-
-
-def _slab_entry_1d(bb_ref, k, o3, d3):
-    """[BLOCK] conservative entry distance into cluster k's AABB."""
-    tn = jnp.full((BLOCK,), -BIG)
-    tf = jnp.full((BLOCK,), BIG)
-    ok = jnp.ones((BLOCK,), bool)
-    for axis in range(3):
-        o = o3[axis]
-        d = d3[axis]
-        lo = bb_ref[k, axis]
-        hi = bb_ref[k, 3 + axis]
-        parallel = jnp.abs(d) < 1e-8
-        inv = 1.0 / jnp.where(parallel, 1.0, d)
-        t1 = (lo - o) * inv
-        t2 = (hi - o) * inv
-        tn = jnp.maximum(tn, jnp.where(parallel, -BIG, jnp.minimum(t1, t2)))
-        tf = jnp.minimum(tf, jnp.where(parallel, BIG, jnp.maximum(t1, t2)))
-        ok &= ~parallel | ((o >= lo) & (o <= hi))
-    hit = ok & (tf >= jnp.maximum(tn, 0.0))
-    return jnp.where(hit, jnp.maximum(tn, 0.0), INF)
-
-
-def _block_entries_1d(num_k, kpad, bb_ref, o3, d3, active, t_cap=None):
-    """[1, kpad] per-cluster nearest entry over the block's live rays.
-    `active` is an f32 mask (1.0 live)."""
-    kio = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
-
-    def body(k, ev):
-        entry = _slab_entry_1d(bb_ref, k, o3, d3)
-        entry = jnp.where(active > 0.0, entry, INF)
-        if t_cap is not None:
-            entry = jnp.where(entry < t_cap, entry, INF)
-        return jnp.where(kio == k, jnp.min(entry), ev)
-
-    ev = jax.lax.fori_loop(0, num_k, body,
-                           jnp.full((1, kpad), INF, jnp.float32))
-    return ev, kio
-
-
-def _pop_nearest(ev, kio):
-    m = jnp.min(ev)
-    idx = jnp.min(jnp.where(ev == m, kio, jnp.int32(2 ** 30)))
-    return m, idx
-
-
-def _sweep_cols(cols, soa_ref, k, types, clip, ct_ref, apply):
-    """Run cluster k's intersector sweep and hand ts to `apply`. Clusters
-    are type-homogeneous (scene/compile._build_clusters): on multi-type
-    scenes branch on the cluster's type scalar and run ONLY that
-    intersector — ball-and-stick sweeps stop paying cylinder math on
-    sphere clusters. ct < 0 falls back to the combined test."""
-    has_sph, has_cyl, has_tri = types
-    if has_sph + has_cyl + has_tri <= 1:
-        apply(_prim_ts_cols(cols, soa_ref, k, types, clip))
-        return
-    ct = ct_ref[k]
-    if has_sph:
-        @pl.when(ct == PRIM_SPHERE)
-        def _():
-            apply(_prim_ts_cols(cols, soa_ref, k, (True, False, False), clip))
-    if has_cyl:
-        @pl.when(ct == PRIM_CYLINDER)
-        def _():
-            apply(_prim_ts_cols(cols, soa_ref, k, (False, True, False), clip))
-    if has_tri:
-        @pl.when(ct == PRIM_TRIANGLE)
-        def _():
-            apply(_prim_ts_cols(cols, soa_ref, k, (False, False, True), clip))
-
-    @pl.when(ct < 0)
-    def _():
-        apply(_prim_ts_cols(cols, soa_ref, k, types, clip))
-
-
-def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bb_ref, ct_ref,
-                         o3, d3, t_min, active, types, clip, bt_ref, at_ref):
+def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bbT_ref, bgT_ref,
+                         ct_ref, ev_ref, o3, d3, t_min, active, types, clip,
+                         bt_ref, at_ref):
     """Closest hit over active lanes, returning (t [BLOCK] with BIG miss,
     attrs [BLOCK, 32]) where attrs rows = 16 SoA rows ++ 16 shading rows of
     the winning primitive, extracted by per-sweep one-hot MXU matmuls.
 
-    `active` is an f32 mask (1.0 live). Per-ray state lives in the VMEM
-    scratch refs bt_ref [BLOCK,1] / at_ref [BLOCK,32] — Mosaic's layout
-    pass crashes on vector-valued while_loop carries, so only the worklist
-    row and scalars are loop-carried (same shape discipline as the proven
-    ops/pallas_trace kernels)."""
+    Traversal machinery (two-level vectorized entries, per-cluster type
+    dispatch, worklist pops) is SHARED with ops/pallas_trace — this
+    function only adds the attribute extraction. `active` is an f32 mask
+    (1.0 live). Per-ray state lives in the VMEM scratch refs bt_ref
+    [BLOCK,1] / at_ref [BLOCK,32] — Mosaic's layout pass crashes on
+    vector-valued while_loop carries, so only the worklist row and scalars
+    are loop-carried."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1)
     cols = (d3[0][:, None], d3[1][:, None], d3[2][:, None],
             o3[0][:, None], o3[1][:, None], o3[2][:, None], t_min[:, None])
-    ev0, kio = _block_entries_1d(num_k, kpad, bb_ref, o3, d3, active)
+    od = [d3[0], d3[1], d3[2], o3[0], o3[1], o3[2], active]
+    kio = _block_entries(num_k, kpad, bbT_ref, bgT_ref, od, ev_ref)
+    ev0 = ev_ref[:]
     bt_ref[:] = jnp.where(active > 0.0, BIG, -BIG)[:, None]
     # Padding/never-hit lanes must read ptype < 0: bake -1 into column 11.
     at_ref[:] = -(jax.lax.broadcasted_iota(
@@ -494,7 +291,7 @@ def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bb_ref, ct_ref,
             at_ref[:] = jnp.where(improved[:, None], new_attrs, at_ref[:])
             bt_ref[:] = jnp.where(improved, m, best)[:, None]
 
-        _sweep_cols(cols, soa_ref, k, types, clip, ct_ref, apply)
+        _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply)
         ev = jnp.where(kio == k, INF, ev)
         e_next, k_next = _pop_nearest(ev, kio)
         bound = jnp.max(bt_ref[:, 0])
@@ -506,13 +303,16 @@ def _trace_closest_attrs(num_k, kpad, soa_ref, attr_ref, bb_ref, ct_ref,
     return jnp.where(active > 0.0, bt_ref[:, 0], BIG), at_ref[:]
 
 
-def _trace_any_1d(num_k, kpad, soa_ref, bb_ref, ct_ref, o3, d3, t_min,
-                  accept_lo, active, types, clip, fd_ref):
+def _trace_any_1d(num_k, kpad, soa_ref, bbT_ref, bgT_ref, ct_ref, ev_ref,
+                  o3, d3, t_min, accept_lo, active, types, clip, fd_ref):
     """Occlusion query over active lanes (f32 mask): [BLOCK] f32 mask of
-    occluded lanes. fd_ref is an i32 [BLOCK,1] VMEM scratch."""
+    occluded lanes. fd_ref is an i32 [BLOCK,1] VMEM scratch; traversal
+    machinery shared with ops/pallas_trace."""
     cols = (d3[0][:, None], d3[1][:, None], d3[2][:, None],
             o3[0][:, None], o3[1][:, None], o3[2][:, None], t_min[:, None])
-    ev0, kio = _block_entries_1d(num_k, kpad, bb_ref, o3, d3, active)
+    od = [d3[0], d3[1], d3[2], o3[0], o3[1], o3[2], active]
+    kio = _block_entries(num_k, kpad, bbT_ref, bgT_ref, od, ev_ref)
+    ev0 = ev_ref[:]
     lo_col = accept_lo[:, None]
     act_col = active[:, None] > 0.0
     fd_ref[:] = jnp.zeros((BLOCK, 1), jnp.int32)
@@ -527,7 +327,7 @@ def _trace_any_1d(num_k, kpad, soa_ref, bb_ref, ct_ref, o3, d3, t_min,
             hit = jnp.any((ts > lo_col) & (ts < BIG) & act_col, axis=1)
             fd_ref[:] = (fd_ref[:, 0] | hit.astype(jnp.int32))[:, None]
 
-        _sweep_cols(cols, soa_ref, k, types, clip, ct_ref, apply)
+        _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply)
         ev = jnp.where(kio == k, INF, ev)
         e_next, k_next = _pop_nearest(ev, kio)
         # Stop when every live lane is occluded.
@@ -605,8 +405,9 @@ def _make_path_kernel(flags_key, types, kpad):
      surface_flag_mode, with_stats) = flags_key
 
     def kernel(num_k_ref, ints_ref, params_ref, px_ref, py_ref,
-               soa_ref, attr_ref, bb_ref, ct_ref, r_out, g_out, b_out,
-               n_out, st_ref, si_ref, bt_ref, at_ref, fd_ref):
+               soa_ref, attr_ref, bbT_ref, bgT_ref, ct_ref, r_out, g_out,
+               b_out, n_out, st_ref, si_ref, bt_ref, at_ref, fd_ref,
+               ev_ref):
         num_k = num_k_ref[0]
         frame = ints_ref[0]
         sample = ints_ref[1]
@@ -682,8 +483,8 @@ def _make_path_kernel(flags_key, types, kpad):
             if with_stats:
                 si_ref[1, :] = si_ref[1, :] + (alive > 0.0).astype(jnp.int32)
             t, attrs = _trace_closest_attrs(
-                num_k, kpad, soa_ref, attr_ref, bb_ref, ct_ref, o, d, t_min,
-                alive, types, clip, bt_ref, at_ref)
+                num_k, kpad, soa_ref, attr_ref, bbT_ref, bgT_ref, ct_ref,
+                ev_ref, o, d, t_min, alive, types, clip, bt_ref, at_ref)
             hit = attrs[:, 11] >= 0.0
 
             # --- miss -> ambient (no env on this path), then cull ----------
@@ -891,8 +692,9 @@ def _make_path_kernel(flags_key, types, kpad):
                         if with_stats:
                             si_ref[1, :] = (si_ref[1, :]
                                             + candidate.astype(jnp.int32))
-                        occ = _trace_any_1d(num_k, kpad, soa_ref, bb_ref,
-                                            ct_ref, shadow_o, ldir, t_min,
+                        occ = _trace_any_1d(num_k, kpad, soa_ref,
+                                            bbT_ref, bgT_ref, ct_ref,
+                                            ev_ref, shadow_o, ldir, t_min,
                                             shadow_min, candidate, types,
                                             clip, fd_ref)
                         lit = (candidate > 0.0) & (occ <= 0.0)
@@ -1115,10 +917,14 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
 
     # Scene-side operands. The megakernel works in GLOBAL coordinates (the
     # shading math needs true positions); scenes are molecule/bench scale so
-    # f32 conditioning is fine without the centered shift.
-    soa = scene.cluster_soa
+    # f32 conditioning is fine without the centered shift. Padding prims
+    # (type < 0) get NaN radii so the shared pallas_trace intersectors'
+    # single-type fast paths (no ptype mask) reject them for free.
+    soa = jnp.asarray(scene.cluster_soa, jnp.float32)
+    soa = soa.at[:, 3, :].set(
+        jnp.where(soa[:, 11, :] < 0.0, jnp.float32(np.nan), soa[:, 3, :]))
     pad = jnp.zeros((k, ROWS - 12, scene.cluster_size), jnp.float32)
-    soa16 = jnp.concatenate([jnp.asarray(soa, jnp.float32), pad],
+    soa16 = jnp.concatenate([soa, pad],
                             axis=1).reshape(k * ROWS, scene.cluster_size)
     # Prim-major one-hot table: traversal row ++ shading attrs, pad to 32.
     attr = jnp.concatenate(
@@ -1126,9 +932,25 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
          jnp.asarray(scene.cluster_attr, jnp.float32),
          jnp.zeros((k, scene.cluster_size, 32 - 12 - AROWS), jnp.float32)],
         axis=2).reshape(k * scene.cluster_size, 32)
-    bb = jnp.concatenate([jnp.asarray(scene.cluster_bmin, jnp.float32),
-                          jnp.asarray(scene.cluster_bmax, jnp.float32),
-                          jnp.zeros((k, 2), jnp.float32)], axis=1)
+    # Lane-packed cluster AABBs + 128-cluster group AABBs for the shared
+    # two-level entries pass (GLOBAL coordinates; inverted padding).
+    bmin = jnp.asarray(scene.cluster_bmin, jnp.float32)
+    bmax = jnp.asarray(scene.cluster_bmax, jnp.float32)
+    bmin_p = jnp.concatenate(
+        [bmin, jnp.full((kpad - k, 3), BIG, jnp.float32)])
+    bmax_p = jnp.concatenate(
+        [bmax, jnp.full((kpad - k, 3), -BIG, jnp.float32)])
+    bbT = jnp.concatenate([bmin_p.T, bmax_p.T,
+                           jnp.zeros((2, kpad), jnp.float32)])
+    ng = kpad // 128
+    gmin = jnp.min(bmin_p.reshape(ng, 128, 3), axis=1)
+    gmax = jnp.max(bmax_p.reshape(ng, 128, 3), axis=1)
+    gmin = jnp.concatenate(
+        [gmin, jnp.full((128 - ng, 3), BIG, jnp.float32)])
+    gmax = jnp.concatenate(
+        [gmax, jnp.full((128 - ng, 3), -BIG, jnp.float32)])
+    bgT = jnp.concatenate([gmin.T, gmax.T,
+                           jnp.zeros((2, 128), jnp.float32)])
     # Per-cluster type for the sweep dispatch (-1 = mixed/hand-built).
     prow = jnp.asarray(scene.cluster_soa)[:, 11, :]
     valid = prow >= 0
@@ -1162,7 +984,8 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
             pl.BlockSpec((BLOCK,), lambda i, s: (i,)),       # py
             pl.BlockSpec((k * ROWS, 128), lambda i, s: (0, 0)),
             pl.BlockSpec((k * 128, 32), lambda i, s: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),           # bb
+            pl.BlockSpec((8, kpad), lambda i, s: (0, 0)),    # cluster AABBs
+            pl.BlockSpec((8, 128), lambda i, s: (0, 0)),     # group AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),           # cluster types
         ],
         out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
@@ -1173,6 +996,7 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
             pltpu.VMEM((BLOCK, 1), jnp.float32),    # bt: traversal best-t
             pltpu.VMEM((BLOCK, 32), jnp.float32),   # at: winner attributes
             pltpu.VMEM((BLOCK, 1), jnp.int32),      # fd: any-hit found
+            pltpu.VMEM((1, kpad), jnp.float32),     # ev: cluster entries
         ],
     )
     r, g, b, nrays = pl.pallas_call(
@@ -1187,7 +1011,7 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.array([k], jnp.int32), ints, params, px_i, py_i, soa16, attr, bb,
-      ct)
+    )(jnp.array([k], jnp.int32), ints, params, px_i, py_i, soa16, attr,
+      bbT, bgT, ct)
     radiance = (r[:n], g[:n], b[:n])
     return radiance, jnp.sum(nrays[:n])
