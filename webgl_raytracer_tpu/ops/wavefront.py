@@ -830,11 +830,20 @@ def _pallas_auto(scene, clip, use_pallas):
 
 def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
                         max_iters: int = 4096, use_pallas: bool = True,
-                        force_dense: bool = False) -> HitRecord:
+                        force_dense: bool = False,
+                        full_record: bool = True) -> HitRecord:
     """Closest hit via the cluster wavefront; rays as component triples.
     prim_slot indexes the padded cluster table ([K*C, 12]). force_dense
     sweeps every cluster with no worklist/kernel — the reference's
-    useBvh=false brute-force mode (webgl.js:1)."""
+    useBvh=false brute-force mode (webgl.js:1).
+
+    full_record=False (Pallas branch only): skip _finalize_hit — the
+    [B,12] row gather plus attribute math over the FULL ray batch costs
+    ~26 ms/frame at 1080p, and the compacting integrator rebuilds the
+    record per chunk anyway. The minimal record carries the kernel's
+    UNREFINED t (scene-centered rounding), valid prim_slot, and
+    prim_type as a 0/-1 hit flag; callers must finalize with
+    refine_sphere_t=True before shading."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
     n = o3[0].shape[0]
     k = scene.num_clusters
@@ -847,10 +856,19 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
         closest, best_row = PS.trace_closest(scene, o3, d3, t_min, clip=clip,
                                              active=active,
                                              interpret=pallas_forced_interpret())
+        cost = jnp.full((n,), k * scene.cluster_size, jnp.int32)
+        if not full_record:
+            hit = best_row >= 0
+            return HitRecord(
+                t=jnp.where(hit, closest, BIG),
+                prim_type=jnp.where(hit, 0, -1),
+                prim_local=jnp.full((n,), -1, jnp.int32),
+                prim_slot=best_row,
+                extra=jnp.zeros((n, 3), jnp.float32),
+                cost=cost,
+            )
         return _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row,
-                             cost=jnp.full((n,), k * scene.cluster_size,
-                                           jnp.int32),
-                             refine_sphere_t=True)
+                             cost=cost, refine_sphere_t=True)
     if k <= DENSE_MAX_CLUSTERS or n % TILE != 0 or n < TILE:
         if k <= TILE_MAX_CLUSTERS:
             return _dense_trace(scene, o3, d3, t_min, clip,

@@ -52,11 +52,15 @@ def _clip_tuple(flags, u):
     return (u.clip_normal, u.clip_offset, u.clip_side)
 
 
-def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None):
+def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None,
+                 full_record=True):
     """Tracer dispatch: the dense cluster wavefront (default, TPU-native) or
     the reference-shaped masked BVH stack walk. When an activity mask is
     given, the whole traversal is skipped via a scalar-predicate cond if no
-    lane in this (chunked, screen-coherent) batch is live."""
+    lane in this (chunked, screen-coherent) batch is live.
+    full_record=False: the caller only needs (t, prim_slot) — skips the
+    full-batch finalize gather on the Pallas branch (the compaction path
+    rebuilds records per chunk)."""
     def run(_):
         if flags.tracer == "wavefront":
             # Distributed renders keep the pure-XLA path: pallas_call does
@@ -65,7 +69,8 @@ def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None):
             return wf_trace_closest_v3(scene, o3, d3, t_min, clip,
                                        active=active,
                                        use_pallas=not flags.distributed,
-                                       force_dense=not flags.use_bvh)
+                                       force_dense=not flags.use_bvh,
+                                       full_record=full_record)
         return _traverse(
             scene, jnp.stack(o3, -1), jnp.stack(d3, -1), t_min, clip,
             any_hit=False, accept_min=None, t_max=None,
@@ -740,7 +745,12 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         return trace_paths(scene, env, vol, flags, u, origin, direction, seed,
                            with_stats=with_stats)
 
-    rec0 = _closest_hit(scene, flags, origin, direction, u.t_min, clip)
+    # The compaction path only consumes (t, prim_slot) from the primary
+    # record — full attributes are rebuilt per chunk after permutation, so
+    # skip the full-batch finalize gather (~26 ms/frame at 1080p).
+    slim0 = flags.tracer == "wavefront"
+    rec0 = _closest_hit(scene, flags, origin, direction, u.t_min, clip,
+                        full_record=not slim0)
     size = n // chunks
     import os
     if os.environ.get("WRT_NO_PERM"):
@@ -780,8 +790,12 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         if slim:
             t_c, slot_c = args[7], args[8]
             tmin_c = jnp.broadcast_to(u.t_min, t_c.shape).astype(jnp.float32)
+            # refine_sphere_t: the lean Pallas record carries the kernel's
+            # scene-centered t; refine to global rounding here (idempotent
+            # when the XLA path produced the t).
             rec_c = _finalize_hit(scene, origin_c, direction_c, tmin_c, clip,
-                                  t_c, slot_c, cost=jnp.zeros_like(slot_c))
+                                  t_c, slot_c, cost=jnp.zeros_like(slot_c),
+                                  refine_sphere_t=True)
         else:
             rec_c = HitRecord(*args[7:])
         out = trace_paths(scene, env, vol, flags, u, origin_c, direction_c,
