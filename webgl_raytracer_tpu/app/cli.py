@@ -217,22 +217,27 @@ def cmd_render(args) -> int:
 
 def cmd_bench(args) -> int:
     import jax
+    import numpy as np
 
     logger = create_logger()
     loaded, _ = _load_scene(args, logger)
     r = _make_renderer(args, loaded, logger)
     r.settings.max_frames = 10 ** 9
-    r.render_frame()
-    jax.block_until_ready(r._accum)
+    # Fused multi-frame blocks with a forced readout: per-frame dispatch
+    # both under-reports (async returns) and over-reports (per-dispatch
+    # tunnel floor) — see bench.py / docs/ARCHITECTURE.md.
     n = max(1, args.frames)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        r.render_frame()
-    jax.block_until_ready(r._accum)
-    dt = (time.perf_counter() - t0) / n
+    r.render_frames(n)
+    np.asarray(r.accumulated())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r.render_frames(n)
+        np.asarray(r.accumulated())
+        best = min(best, (time.perf_counter() - t0) / n)
     print(json.dumps({
-        "frame_ms": round(dt * 1000, 2),
-        "mpixels_per_s": round(args.width * args.height / dt / 1e6, 3),
+        "frame_ms": round(best * 1000, 2),
+        "mpixels_per_s": round(args.width * args.height / best / 1e6, 3),
         "resolution": f"{args.width}x{args.height}",
         "device": str(jax.devices()[0]),
     }))
