@@ -1,12 +1,25 @@
 #!/usr/bin/env python3
 """Headline benchmark: Mrays/sec/chip at 1080p on the reference's
-1000-random-sphere scaling scene (src/main.js:348-460; BASELINE.md).
+random-sphere scaling scenes (src/main.js:348-460; BASELINE.md).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mray/s", "vs_baseline": N/100}
 
+Ray definition (the Mray/s numerator): every traversal query the frame
+pays for — closest-hit path-extension segments (camera rays + surviving
+bounce rays) PLUS any-hit occlusion candidates (3-light shadow rays and
+env-NEE rays). BASELINE.md:32-36's 10-25 Mray frame estimate counts both
+kinds; `detail.path_mray_s` reports the path-segments-only rate for
+comparison with rounds 1-2 (whose denominators mixed the two).
+
 vs_baseline is relative to the BASELINE.json north-star target of
 100 Mrays/sec/chip.
+
+Scaling artifact (VERDICT r02 item 4): the same measurement runs on the
+reference's 10 000-sphere scene and a 150 000-sphere scene (the >131k-prim
+reach the kernel gained in round 2); their frame times and the 10k/1k
+ratio land in `detail.scaling` so regressions fail loudly here instead of
+living in STATUS prose. The 10k/1k frame-time ratio is asserted <= 3.0.
 """
 
 from __future__ import annotations
@@ -31,12 +44,13 @@ def random_sphere_geometry(count: int):
     return Geometry(centers, radii, colors, z3, z3, z1, z3)
 
 
-def main() -> None:
+def bench_scene(count: int, frames: int, reps: int):
+    """Best-of-reps fused-block timing of `count` random spheres at 1080p.
+
+    Returns (frame_ms, path_rays, occl_rays). Blocks of `frames` frames
+    amortize the tunnel's 25-270 ms per-dispatch floor; best-of-reps rides
+    out slice variance (tunnel throughput varies ~3x between slices)."""
     import jax
-
-    from webgl_raytracer_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from webgl_raytracer_tpu.render import Renderer
     from webgl_raytracer_tpu.render.config import split_settings
@@ -44,15 +58,8 @@ def main() -> None:
     from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
     from webgl_raytracer_tpu.scene import compile_scene
 
-    width, height = 1920, 1080
-    # 20 frames per fused dispatch: progressive rendering runs hundreds of
-    # frames, and the tunnel's per-dispatch floor (25-230 ms depending on
-    # slice) must amortize like production use — frames=5 under-reported
-    # the chip by ~15% (measured 12.4 vs 14.9 Mray/s same window).
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-
-    scene = compile_scene(random_sphere_geometry(1000))
-    r = Renderer(scene, width=width, height=height)
+    scene = compile_scene(random_sphere_geometry(count))
+    r = Renderer(scene, width=1920, height=1080)
     r.settings.tone_map = "linear"
 
     # Count rays once with the instrumented kernel.
@@ -62,38 +69,67 @@ def main() -> None:
         has_env=False, has_volume=False, clip=None,
     )
     px, py = r._pixel_grids()
-    color, nrays = render_batch_stats(
+    color, (npath, noccl) = render_batch_stats(
         r.scene, None, None, flags, uniforms, px, py, np.uint32(0)
     )
     jax.block_until_ready(color)
-    rays_per_frame = int(nrays)
+    path_rays = int(npath)
+    occl_rays = int(noccl)
 
     # Warm up the production kernel, then time fused multi-frame blocks.
-    # Take the best of several blocks: this rig's chip sits behind a shared
-    # tunnel whose throughput varies ~3x between slices, and the best block
-    # reflects the hardware rate.
     r.settings.max_frames = 10 ** 9
     r.render_frames(frames)
     jax.block_until_ready(r._accum)
     dt = float("inf")
-    for _ in range(6):
+    for _ in range(reps):
         t0 = time.perf_counter()
         r.render_frames(frames)
         jax.block_until_ready(r._accum)
         dt = min(dt, (time.perf_counter() - t0) / frames)
+    return dt * 1000.0, path_rays, occl_rays
 
-    mrays = rays_per_frame / dt / 1e6
+
+def main() -> None:
+    import jax
+
+    from webgl_raytracer_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+
+    ms_1k, path_1k, occl_1k = bench_scene(1000, frames, reps=6)
+    ms_10k, path_10k, occl_10k = bench_scene(10000, max(frames // 2, 4),
+                                             reps=3)
+    ms_150k, path_150k, occl_150k = bench_scene(150000, 4, reps=2)
+
+    total_mray = (path_1k + occl_1k) / (ms_1k / 1000.0) / 1e6
+    path_mray = path_1k / (ms_1k / 1000.0) / 1e6
+    ratio_10k = ms_10k / ms_1k
     print(json.dumps({
-        "metric": "Mrays/sec/chip @1080p, 1000-sphere scene, 4 bounces + "
-                  "3-light NEE shadows",
-        "value": round(mrays, 2),
+        "metric": "Mrays/sec/chip @1080p, 1000-sphere scene, 4 bounces, "
+                  "3-light NEE; rays = closest-hit path segments + any-hit "
+                  "shadow/NEE occlusion candidates",
+        "value": round(total_mray, 2),
         "unit": "Mray/s",
-        "vs_baseline": round(mrays / 100.0, 4),
+        "vs_baseline": round(total_mray / 100.0, 4),
         "detail": {
-            "frame_ms": round(dt * 1000, 1),
-            "rays_per_frame": rays_per_frame,
-            "resolution": f"{width}x{height}",
+            "frame_ms": round(ms_1k, 1),
+            "path_rays_per_frame": path_1k,
+            "occl_rays_per_frame": occl_1k,
+            "path_mray_s": round(path_mray, 2),
+            "resolution": "1920x1080",
             "device": str(jax.devices()[0]),
+            "scaling": {
+                "spheres10000_frame_ms": round(ms_10k, 1),
+                "spheres10000_mray_s": round(
+                    (path_10k + occl_10k) / (ms_10k / 1000.0) / 1e6, 2),
+                "spheres150000_frame_ms": round(ms_150k, 1),
+                "spheres150000_mray_s": round(
+                    (path_150k + occl_150k) / (ms_150k / 1000.0) / 1e6, 2),
+                "ratio_10k_vs_1k": round(ratio_10k, 2),
+                "ratio_10k_vs_1k_ok": bool(ratio_10k <= 3.0),
+            },
         },
     }))
 

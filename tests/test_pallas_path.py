@@ -37,7 +37,7 @@ def _run_both(loaded, overrides, size=24, clip=None, frame=0):
                                     interpret=True)
     a = np.stack([np.asarray(c) for c in rad_x], -1)
     b = np.stack([np.asarray(c) for c in rad_m], -1)
-    return a, b, int(nrays)
+    return a, b, int(nrays[0]) + int(nrays[1])
 
 
 def _assert_close(a, b, tol=1e-5):

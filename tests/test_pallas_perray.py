@@ -1,0 +1,128 @@
+"""Per-ray worklist traversal kernels vs the block-worklist kernels
+(interpret mode). The per-ray kernels (pallas_trace `_make_*_perray`) give
+each ray its own front-to-back cluster chain via one-hot MXU gathers; the
+bf16 mantissa-split reconstruction is exact, so results must agree with the
+block kernels to the last ulp on supported scenes (single primitive type,
+<= 128 clusters)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from webgl_raytracer_tpu.models.molecular import Geometry
+from webgl_raytracer_tpu.scene import compile_scene
+import webgl_raytracer_tpu.ops.pallas_trace as PS
+
+
+def _ray_batch(seed, n, spread=3.0, zoff=12.0):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(3, n)).astype(np.float32) * spread
+    o[2] += zoff
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d[2] -= 1.5
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    o3 = tuple(jnp.asarray(o[i]) for i in range(3))
+    d3 = tuple(jnp.asarray(d[i]) for i in range(3))
+    return o3, d3, jnp.full((n,), np.float32(1e-3))
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    rng = np.random.default_rng(11)
+    n = 900
+    centers = (rng.random((n, 3)).astype(np.float32) - 0.5) * 14
+    radii = (0.15 + rng.random(n) * 0.3).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    return compile_scene(Geometry(centers, radii, colors, z3, z3, z1, z3))
+
+
+@pytest.fixture(scope="module")
+def cyl_scene():
+    rng = np.random.default_rng(13)
+    m = 300
+    p1 = (rng.random((m, 3)).astype(np.float32) - 0.5) * 12
+    axis = rng.normal(size=(m, 3)).astype(np.float32)
+    axis /= np.linalg.norm(axis, axis=1, keepdims=True)
+    p2 = p1 + axis * (0.5 + rng.random((m, 1)).astype(np.float32))
+    radii = (0.08 + rng.random(m) * 0.15).astype(np.float32)
+    colors = rng.random((m, 3)).astype(np.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    return compile_scene(Geometry(z3, z1, z3, p1, p2, radii, colors))
+
+
+@pytest.fixture(scope="module")
+def tri_scene():
+    rng = np.random.default_rng(17)
+    t = 400
+    v0 = (rng.random((t, 3)).astype(np.float32) - 0.5) * 12
+    tv = np.stack([v0,
+                   v0 + rng.normal(size=(t, 3)).astype(np.float32),
+                   v0 + rng.normal(size=(t, 3)).astype(np.float32)], axis=1)
+    return compile_scene(tri_verts=tv)
+
+
+def test_supported_gating(sphere_scene, cyl_scene, tri_scene):
+    assert PS.perray_supported(sphere_scene)
+    assert PS.perray_supported(cyl_scene)
+    assert PS.perray_supported(tri_scene)
+    from webgl_raytracer_tpu.models import (get_builtin_molecule,
+                                            molecule_to_geometry)
+    mixed = compile_scene(molecule_to_geometry(get_builtin_molecule("caffeine")))
+    assert not PS.perray_supported(mixed)   # two primitive types
+
+
+@pytest.mark.parametrize("fixt", ["sphere_scene", "cyl_scene", "tri_scene"])
+def test_closest_matches_block(fixt, request):
+    scene = request.getfixturevalue(fixt)
+    o3, d3, tmin = _ray_batch(5, 1500)
+    tb, rb = PS.trace_closest(scene, o3, d3, tmin, interpret=True,
+                              perray=False)
+    tp, rp = PS.trace_closest(scene, o3, d3, tmin, interpret=True,
+                              perray=True)
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tp))
+
+
+@pytest.mark.parametrize("fixt", ["sphere_scene", "cyl_scene", "tri_scene"])
+def test_any_matches_block(fixt, request):
+    scene = request.getfixturevalue(fixt)
+    o3, d3, tmin = _ray_batch(7, 1500)
+    lo = jnp.full(tmin.shape, 0.01)
+    fb = PS.trace_any(scene, o3, d3, tmin, t_max=30.0, accept_min=lo,
+                      interpret=True, perray=False)
+    fp = PS.trace_any(scene, o3, d3, tmin, t_max=30.0, accept_min=lo,
+                      interpret=True, perray=True)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fp))
+
+
+def test_masked_matches_block(sphere_scene):
+    """Sparse activity masks are the per-ray kernels' home turf (shadow
+    batches): inactive lanes must not pop work or corrupt neighbors."""
+    o3, d3, tmin = _ray_batch(9, 2048)
+    act = jnp.asarray((np.arange(2048) % 5) == 0)    # 20% live
+    tb, rb = PS.trace_closest(sphere_scene, o3, d3, tmin, active=act,
+                              interpret=True, perray=False)
+    tp, rp = PS.trace_closest(sphere_scene, o3, d3, tmin, active=act,
+                              interpret=True, perray=True)
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
+    a = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(tb)[a], np.asarray(tp)[a])
+    fb = PS.trace_any(sphere_scene, o3, d3, tmin, t_max=25.0, active=act,
+                      interpret=True, perray=False)
+    fp = PS.trace_any(sphere_scene, o3, d3, tmin, t_max=25.0, active=act,
+                      interpret=True, perray=True)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fp))
+
+
+def test_clip_matches_block(tri_scene):
+    o3, d3, tmin = _ray_batch(3, 1024)
+    clip = (np.array([0.0, 1.0, 0.0], np.float32), 0.0, 1.0)
+    tb, rb = PS.trace_closest(tri_scene, o3, d3, tmin, clip=clip,
+                              interpret=True, perray=False)
+    tp, rp = PS.trace_closest(tri_scene, o3, d3, tmin, clip=clip,
+                              interpret=True, perray=True)
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tp))

@@ -399,14 +399,15 @@ def _make_path_kernel(flags_key, types, kpad):
 
     State-ref row layout (st_ref [16, BLOCK] f32): origin 0-2, direction
     3-5, throughput 6-8, radiance 9-11, last_pdf 12, alive mask 13.
-    si_ref [2, BLOCK] i32: PCG state 0, traced-ray count 1."""
+    si_ref [3, BLOCK] i32: PCG state 0, path-segment count 1 (closest-hit
+    extensions), occlusion-candidate count 2 (shadow any-hit rays)."""
     (material_mode, use_imported_color, cast_shadows, max_bounces,
      light_enabled, rim_enabled, dof_enabled, clip_enabled,
      surface_flag_mode, with_stats) = flags_key
 
     def kernel(num_k_ref, ints_ref, params_ref, px_ref, py_ref,
                soa_ref, attr_ref, bbT_ref, bgT_ref, ct_ref, r_out, g_out,
-               b_out, n_out, st_ref, si_ref, bt_ref, at_ref, fd_ref,
+               b_out, n_out, m_out, st_ref, si_ref, bt_ref, at_ref, fd_ref,
                ev_ref):
         num_k = num_k_ref[0]
         frame = ints_ref[0]
@@ -470,6 +471,7 @@ def _make_path_kernel(flags_key, types, kpad):
         st_ref[13, :] = ones            # alive mask
         si_ref[0, :] = seed
         si_ref[1, :] = jnp.zeros((BLOCK,), jnp.int32)
+        si_ref[2, :] = jnp.zeros((BLOCK,), jnp.int32)
 
         bias = jnp.maximum(P[44], 1e-4)
         t_min = P[45] * ones
@@ -690,7 +692,7 @@ def _make_path_kernel(flags_key, types, kpad):
                     candidate = shade_f * (ndl > 0.0).astype(jnp.float32)
                     if cast_shadows:
                         if with_stats:
-                            si_ref[1, :] = (si_ref[1, :]
+                            si_ref[2, :] = (si_ref[2, :]
                                             + candidate.astype(jnp.int32))
                         occ = _trace_any_1d(num_k, kpad, soa_ref,
                                             bbT_ref, bgT_ref, ct_ref,
@@ -842,6 +844,7 @@ def _make_path_kernel(flags_key, types, kpad):
         g_out[:] = jnp.minimum(st_ref[10, :], 100.0)
         b_out[:] = jnp.minimum(st_ref[11, :], 100.0)
         n_out[:] = si_ref[1, :]
+        m_out[:] = si_ref[2, :]
 
     return kernel
 
@@ -905,7 +908,9 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
                   with_stats=False, interpret=False):
     """One path-traced sample for every pixel via the megakernel.
 
-    Returns (radiance triple of [N], nrays scalar i32). Radiance matches
+    Returns (radiance triple of [N], (path_rays, occl_rays) scalar i32 —
+    closest-hit extension segments / shadow any-hit candidates, matching
+    render/integrator.trace_paths' accounting). Radiance matches
     render/integrator.trace_paths bit-for-bit in RNG stream for the same
     configs (see module docstring)."""
     n = px.shape[0]
@@ -989,21 +994,21 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
             pl.BlockSpec(memory_space=pltpu.SMEM),           # cluster types
         ],
         out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
-                   for _ in range(4)],
+                   for _ in range(5)],
         scratch_shapes=[
             pltpu.VMEM((16, BLOCK), jnp.float32),   # st: per-ray path state
-            pltpu.VMEM((2, BLOCK), jnp.int32),      # si: PCG state + ray count
+            pltpu.VMEM((3, BLOCK), jnp.int32),      # si: PCG + ray counters
             pltpu.VMEM((BLOCK, 1), jnp.float32),    # bt: traversal best-t
             pltpu.VMEM((BLOCK, 32), jnp.float32),   # at: winner attributes
             pltpu.VMEM((BLOCK, 1), jnp.int32),      # fd: any-hit found
             pltpu.VMEM((1, kpad), jnp.float32),     # ev: cluster entries
         ],
     )
-    r, g, b, nrays = pl.pallas_call(
+    r, g, b, npath, noccl = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * 3
-        + [jax.ShapeDtypeStruct((n_pad,), jnp.int32)],
+        + [jax.ShapeDtypeStruct((n_pad,), jnp.int32)] * 2,
         # The traversal sweeps keep ~30 MB of [BLOCK,128] intermediates
         # live; the default 16 MB scoped-vmem budget rejects the kernel at
         # compile time. v5e VMEM is 128 MB and the explicit operands are
@@ -1014,4 +1019,4 @@ def render_sample(scene, flags, u, px, py, frame_index, sample_index,
     )(jnp.array([k], jnp.int32), ints, params, px_i, py_i, soa16, attr,
       bbT, bgT, ct)
     radiance = (r[:n], g[:n], b[:n])
-    return radiance, jnp.sum(nrays[:n])
+    return radiance, (jnp.sum(npath[:n]), jnp.sum(noccl[:n]))

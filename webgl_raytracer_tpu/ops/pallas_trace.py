@@ -123,24 +123,39 @@ def _prim_ts(cols, soa_ref, k, types, clip=None):
     `cols` = (dx, dy, dz, ox, oy, oz, tmin) as [B, 1] columns sliced from
     the lane-major od operand — a 2nd-minor-axis [B, 16] operand would be
     tile-padded 8x by Mosaic (measured ~1 GB of wasted HBM per 1080p
-    traversal). Same per-type math as ops/wavefront.intersect_soa_t;
-    `types` is the static (has_spheres, has_cylinders, has_triangles)
-    triple; `clip` is None or ((nx, ny, nz), offset, side) scalars —
-    triangle hits on the clipped side are rejected (webgl.js:384-390)."""
-    has_sph, has_cyl, has_tri = types
-
+    traversal)."""
     def row(i):
         return soa_ref[pl.ds(k * ROWS + i, 1), :]     # [1, C]
 
-    dx, dy, dz, ox, oy, oz, tmin = cols
-    ptype = row(11)
-    ra = row(3)
+    return _prim_ts_rows(cols, row, soa_ref.shape[1], types, clip)
 
-    t = jnp.full((BLOCK, soa_ref.shape[1]), -1.0, jnp.float32)
+
+def _prim_ts_rows(cols, row, c, types, clip=None, pad_guard=False):
+    """[BLOCK, C] candidate hit distances (-1 = no hit) against primitive
+    SoA rows served by `row(i)` — either a shared [1, C] cluster slice (the
+    block-worklist kernels) or per-ray gathered [BLOCK, C] rows (the
+    per-ray worklist kernels). Same per-type math as
+    ops/wavefront.intersect_soa_t; `types` is the static (has_spheres,
+    has_cylinders, has_triangles) triple; `clip` is None or
+    ((nx, ny, nz), offset, side) scalars — triangle hits on the clipped
+    side are rejected (webgl.js:384-390).
+
+    pad_guard: padding primitives carry radius -1 instead of the shared
+    kernels' NaN (the per-ray one-hot MXU gather cannot use NaN padding:
+    0 x NaN = NaN would poison every unselected lane column), so
+    sphere/cylinder candidates are masked on ra > 0. Zero triangles are
+    degenerate (det = 0) and miss without a guard."""
+    has_sph, has_cyl, has_tri = types
+
+    dx, dy, dz, ox, oy, oz, tmin = cols
 
     single = has_sph + has_cyl + has_tri == 1
+    if not single:
+        ptype = row(11)
+        t = jnp.full((BLOCK, c), -1.0, jnp.float32)
 
     if has_sph:
+        ra = row(3)
         # (An MXU bilinear form — c.d and |c|^2-r^2-2o.c as [B,16]x[16,C]
         # matmuls — was measured twice, round 1 and round 2, and does NOT
         # beat this elementwise form: the matmul is too small to amortize
@@ -158,11 +173,14 @@ def _prim_ts(cols, soa_ref, k, types, clip=None):
         t0 = -b - sq
         ts = jnp.where(t0 > tmin, t0, -b + sq)
         ts = jnp.where(ts > tmin, ts, -1.0)
+        if pad_guard:
+            ts = jnp.where(ra > 0.0, ts, -1.0)
         if single:
             return ts
         t = jnp.where(ptype == PRIM_SPHERE, ts, t)
 
     if has_cyl:
+        ra = row(3)
         p1x, p1y, p1z = row(0), row(1), row(2)
         p2x, p2y, p2z = row(4), row(5), row(6)
         avx = p2x - p1x
@@ -231,6 +249,8 @@ def _prim_ts(cols, soa_ref, k, types, clip=None):
         tq = jnp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
         tq = jnp.where(okc & (tq > tmin), tq, -1.0)
         tc = jnp.where(degen, tq, tc)
+        if pad_guard:
+            tc = jnp.where(ra > 0.0, tc, -1.0)
         if single:
             return tc
         t = jnp.where(ptype == PRIM_CYLINDER, tc, t)
@@ -463,6 +483,305 @@ def _make_any_kernel(types, kpad, clip_on=False):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# Per-ray worklist kernels (work-proportional traversal).
+#
+# The block-worklist kernels above make every ray in a 1024-ray block sweep
+# every cluster ANY ray in the block wants — on divergent batches (secondary
+# bounces, shadow rays, sparse live masks) each ray pays for the block
+# UNION of cluster chains. These kernels give each ray its OWN front-to-back
+# worklist: per while-loop step every ray pops its own nearest untested
+# cluster, a one-hot [BLOCK, kpad] bf16 MXU matmul gathers that cluster's
+# SoA rows per ray (Mosaic has no per-lane gather; the systolic array does
+# the selection as dense matrix work), and the sweep tests per-ray rows.
+# Steps until every ray's remaining entries lie beyond its own closest hit:
+# the block's cost is max-per-ray-chain, not union size.
+#
+# Exactness: gathered f32 values are reconstructed EXACTLY from three bf16
+# matmuls (v = bf16(v) + bf16(v - hi) + bf16(residual) splits a 24-bit f32
+# mantissa into 3x8 bits; the one-hot weights are exact in bf16; the MXU
+# accumulates in f32), so hits agree with the block-worklist kernels to the
+# last ulp. Padding primitives carry radius -1 (NaN cannot ride the matmul:
+# 0 x NaN = NaN) and are masked by _prim_ts_rows' pad_guard.
+#
+# Scope: single-primitive-type scenes (per-ray gathered clusters can mix
+# types across rays, which would force every intersector every step) with
+# num_clusters <= PERRAY_MAX_CLUSTERS (the [BLOCK, kpad] entries matrix and
+# the matmul contraction stay one 128-lane group).
+
+PERRAY_MAX_CLUSTERS = 128
+
+# SoA rows each single-type sweep needs (gathered per ray per step).
+_PERRAY_ROWS = {
+    PRIM_SPHERE: (0, 1, 2, 3),
+    PRIM_CYLINDER: (0, 1, 2, 3, 4, 5, 6),
+    PRIM_TRIANGLE: (0, 1, 2, 4, 5, 6, 8, 9, 10),
+}
+
+
+def _slab_entries_rows(boxT, od, t_cap=None):
+    """[BLOCK, L] per-ray nearest-entry distances into L lane-packed AABBs
+    (INF: miss / inactive ray / at-or-beyond the per-ray cap). Same slab
+    algebra as _slab_sweep without the cross-ray reduction."""
+    l = boxT.shape[1]
+    tn = jnp.full((BLOCK, l), -BIG)
+    tf = jnp.full((BLOCK, l), BIG)
+    ok = jnp.ones((BLOCK, l), bool)
+    for axis in range(3):
+        o = od[3 + axis][:, None]
+        d = od[axis][:, None]
+        lo = boxT[axis:axis + 1, :]
+        hi = boxT[3 + axis:4 + axis, :]
+        parallel = jnp.abs(d) < 1e-8
+        inv = 1.0 / jnp.where(parallel, 1.0, d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        tn = jnp.maximum(tn, jnp.where(parallel, -BIG, jnp.minimum(t1, t2)))
+        tf = jnp.minimum(tf, jnp.where(parallel, BIG, jnp.maximum(t1, t2)))
+        ok &= ~parallel | ((o >= lo) & (o <= hi))
+    hit = ok & (tf >= jnp.maximum(tn, 0.0))
+    entry = jnp.where(hit, jnp.maximum(tn, 0.0), INF)
+    entry = jnp.where(od[6][:, None] > 0.0, entry, INF)
+    if t_cap is not None:
+        entry = jnp.where(entry < t_cap[:, None], entry, INF)
+    # Inverted (padding) boxes pass the slab algebra as hit-at-0; kill them.
+    return jnp.where(boxT[0:1, :] <= boxT[3:4, :], entry, INF)
+
+
+def _perray_gather(oh_b, ws_refs):
+    """Per-ray SoA rows via one-hot MXU selection: [BLOCK, kpad] bool one-hot
+    against three bf16 mantissa-split operands [kpad, R*128] -> exact f32
+    [BLOCK, R*128] (see section comment)."""
+    oh = oh_b.astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    g = jax.lax.dot_general(oh, ws_refs[0][:, :], dn,
+                            preferred_element_type=jnp.float32)
+    g = g + jax.lax.dot_general(oh, ws_refs[1][:, :], dn,
+                                preferred_element_type=jnp.float32)
+    return g + jax.lax.dot_general(oh, ws_refs[2][:, :], dn,
+                                   preferred_element_type=jnp.float32)
+
+
+def _perray_pop(ev_ref, kio2, stop_mask):
+    """One per-ray worklist pop: (sel [BLOCK] bool, idx [BLOCK] i32,
+    one-hot [BLOCK, kpad] bool). Retires the popped entries in ev_ref.
+    stop_mask lanes (per-ray done) never pop."""
+    e = ev_ref[:]
+    m = jnp.min(e, axis=1)
+    sel = (m < BIG) & ~stop_mask
+    idx = jnp.min(jnp.where(e == m[:, None], kio2, jnp.int32(2 ** 30)),
+                  axis=1)
+    idx = jnp.where(sel, idx, 0)
+    oh_b = (kio2 == idx[:, None]) & sel[:, None]
+    ev_ref[:] = jnp.where(oh_b, INF, e)
+    return sel, idx, oh_b
+
+
+def _make_closest_kernel_perray(stype, kpad, clip_on=False):
+    """Per-ray front-to-back closest hit (see section comment). bt/bk are
+    [BLOCK, 128] per-lane-slot accumulators exactly like the block-worklist
+    kernel; idx is a per-ray column instead of a loop scalar."""
+    rows_idx = _PERRAY_ROWS[stype]
+    rowmap = {r: j for j, r in enumerate(rows_idx)}
+    types = (stype == PRIM_SPHERE, stype == PRIM_CYLINDER,
+             stype == PRIM_TRIANGLE)
+
+    def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref, cp_ref,
+               t_out, row_out, bt_ref, bk_ref, ev_ref):
+        od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
+        cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
+            od_ref[8, :][:, None],)
+        clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
+                if clip_on else None)
+        act = od[6]
+        gate = _root_gate(cp_ref, od)
+
+        @pl.when(gate)
+        def _run():
+            bt_ref[:] = jnp.broadcast_to(
+                jnp.where(act[:, None] > 0.0, BIG, -BIG), (BLOCK, 128))
+            bk_ref[:] = jnp.zeros((BLOCK, 128), jnp.int32)
+            ev_ref[:] = _slab_entries_rows(bbT_ref[:, :], od)
+            kio2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, kpad), 1)
+
+            def pending():
+                return jnp.any(jnp.min(ev_ref[:], axis=1)
+                               < jnp.min(bt_ref[:], axis=1))
+
+            def body(_go):
+                # A ray stops once its nearest remaining entry is at or
+                # beyond its own closest hit (front-to-back early out).
+                done = jnp.min(ev_ref[:], axis=1) >= jnp.min(bt_ref[:], axis=1)
+                sel, idx, oh_b = _perray_pop(ev_ref, kio2, done)
+                g = _perray_gather(oh_b, (ws1_ref, ws2_ref, ws3_ref))
+
+                def row(i):
+                    j = rowmap[i]
+                    return g[:, j * 128:(j + 1) * 128]
+
+                ts = _prim_ts_rows(cols, row, 128, types, clip,
+                                   pad_guard=True)
+                bt = bt_ref[:]
+                upd = (ts > 0.0) & (ts < bt) & sel[:, None]
+                bt_ref[:] = jnp.where(upd, ts, bt)
+                bk_ref[:] = jnp.where(upd, idx[:, None], bk_ref[:])
+                return pending()
+
+            jax.lax.while_loop(lambda go: go, body, pending())
+
+            bt = bt_ref[:]
+            tbest = jnp.min(bt, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1)
+            packed = jnp.where(bt == tbest[:, None], bk_ref[:] * 128 + lane,
+                               jnp.int32(2 ** 30))
+            rw = jnp.min(packed, axis=1)
+            t_out[:] = tbest
+            row_out[:] = jnp.where(tbest < BIG, rw, -1)
+
+        @pl.when(~gate)
+        def _miss():
+            t_out[:] = jnp.full((BLOCK,), BIG, jnp.float32)
+            row_out[:] = jnp.full((BLOCK,), -1, jnp.int32)
+
+    return kernel
+
+
+def _make_any_kernel_perray(stype, kpad, clip_on=False):
+    rows_idx = _PERRAY_ROWS[stype]
+    rowmap = {r: j for j, r in enumerate(rows_idx)}
+    types = (stype == PRIM_SPHERE, stype == PRIM_CYLINDER,
+             stype == PRIM_TRIANGLE)
+
+    def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref, cp_ref,
+               found_out, fd_ref, ev_ref):
+        od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
+        cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
+            od_ref[8, :][:, None],)
+        t_hi = od_ref[6, :]
+        lo_col = od_ref[9, :][:, None]
+        hi_col = t_hi[:, None]
+        clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
+                if clip_on else None)
+        act = od[6]
+        gate = _root_gate(cp_ref, od)
+
+        @pl.when(gate)
+        def _run():
+            # Inactive lanes start as "found": they never pop work.
+            fd_ref[:] = (act <= 0.0).astype(jnp.int32)
+            ev_ref[:] = _slab_entries_rows(bbT_ref[:, :], od, t_cap=t_hi)
+            kio2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, kpad), 1)
+
+            def pending():
+                return jnp.any((jnp.min(ev_ref[:], axis=1) < BIG)
+                               & (fd_ref[:] == 0))
+
+            def body(_go):
+                sel, idx, oh_b = _perray_pop(ev_ref, kio2, fd_ref[:] > 0)
+                g = _perray_gather(oh_b, (ws1_ref, ws2_ref, ws3_ref))
+
+                def row(i):
+                    j = rowmap[i]
+                    return g[:, j * 128:(j + 1) * 128]
+
+                ts = _prim_ts_rows(cols, row, 128, types, clip,
+                                   pad_guard=True)
+                hit = jnp.any((ts > lo_col) & (ts < hi_col) & sel[:, None],
+                              axis=1)
+                fd_ref[:] = fd_ref[:] | hit.astype(jnp.int32)
+                return pending()
+
+            jax.lax.while_loop(lambda go: go, body, pending())
+            found_out[:] = jnp.where(act > 0.0, fd_ref[:], 0)
+
+        @pl.when(~gate)
+        def _miss():
+            found_out[:] = jnp.zeros((BLOCK,), jnp.int32)
+
+    return kernel
+
+
+def _gather_operands(scene, mid):
+    """bf16 mantissa-split gather operands for the per-ray kernels: three
+    [kpad, R*128] arrays whose f32 sum reconstructs the scene-centered SoA
+    rows _PERRAY_ROWS[stype] exactly (24-bit mantissa = 3 x 8-bit bf16
+    splits). Padding prims get radius -1 (pad_guard masks them; zero
+    triangles are degenerate and miss on their own)."""
+    stype = _single_type(scene)
+    rows_idx = _PERRAY_ROWS[stype]
+    k = scene.num_clusters
+    c = scene.cluster_size
+    soa = scene.cluster_soa                       # [K, 12, C]
+    shift = jnp.array([mid[0], mid[1], mid[2], 0.0,
+                       mid[0], mid[1], mid[2], 0.0,
+                       mid[0], mid[1], mid[2], 0.0], jnp.float32)
+    soa_c = soa - shift[None, :, None]
+    pad_lane = soa[:, 11, :] < 0.0
+    soa_c = soa_c.at[:, 3, :].set(
+        jnp.where(pad_lane, jnp.float32(-1.0), soa_c[:, 3, :]))
+    w = jnp.stack([soa_c[:, r, :] for r in rows_idx], axis=1)
+    w = w.reshape(k, len(rows_idx) * c)
+    kp = _kpad(k)
+    if kp != k:
+        w = jnp.concatenate(
+            [w, jnp.zeros((kp - k, len(rows_idx) * c), jnp.float32)])
+    w1 = w.astype(jnp.bfloat16)
+    r1 = w - w1.astype(jnp.float32)
+    w2 = r1.astype(jnp.bfloat16)
+    w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return w1, w2, w3, len(rows_idx)
+
+
+def _single_type(scene):
+    types = _types(scene)
+    if sum(types) != 1:
+        return None
+    return (PRIM_SPHERE, PRIM_CYLINDER, PRIM_TRIANGLE)[types.index(True)]
+
+
+def perray_supported(scene) -> bool:
+    """Scenes the per-ray worklist kernels handle: one primitive type,
+    one 128-cluster group."""
+    return (_single_type(scene) is not None
+            and MIN_CLUSTERS <= scene.num_clusters <= PERRAY_MAX_CLUSTERS
+            and scene.cluster_size == 128)
+
+
+def _grid_call_perray(kernel, is_closest, n_pad, k, nr, outs, od, ws, bbT,
+                      cp, interpret):
+    nb = n_pad // BLOCK
+    kp = _kpad(k)
+    if is_closest:
+        scratch = [pltpu.VMEM((BLOCK, 128), jnp.float32),
+                   pltpu.VMEM((BLOCK, 128), jnp.int32)]
+    else:
+        scratch = [pltpu.VMEM((BLOCK,), jnp.int32)]
+    scratch.append(pltpu.VMEM((BLOCK, kp), jnp.float32))   # per-ray entries
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((16, BLOCK), lambda i, s: (0, i)),
+            pl.BlockSpec((kp, nr * 128), lambda i, s: (0, 0)),
+            pl.BlockSpec((kp, nr * 128), lambda i, s: (0, 0)),
+            pl.BlockSpec((kp, nr * 128), lambda i, s: (0, 0)),
+            pl.BlockSpec((8, kp), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
+                   for _ in outs],
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), dt) for dt in outs],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.array([k], jnp.int32), od, ws[0], ws[1], ws[2], bbT, cp)
+
+
 def _scene_operands(scene):
     """Scene-side kernel operands: scene-centered SoA [K*ROWS, C], AABBs
     [K, 8], centroid [3]."""
@@ -613,22 +932,47 @@ def _scalar_operand(clip, mid, scene):
         jnp.zeros(3, jnp.float32), root, jnp.zeros(2, jnp.float32)]), True
 
 
+def _use_perray(scene, perray):
+    """Resolve the traversal formulation: per-ray worklist (work
+    proportional to each ray's own cluster chain) vs block worklist.
+    perray=None consults WRT_PERRAY ('1' force on, '0' force off; unset =
+    off pending on-chip measurement — flip here once tools/bench_traversal
+    shows a win)."""
+    if not perray_supported(scene):
+        return False
+    if perray is None:
+        return os.environ.get("WRT_PERRAY") == "1"
+    return bool(perray)
+
+
 def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
-                  interpret=False):
+                  interpret=False, perray=None):
     """Closest hit. Returns (closest [N] f32 with BIG for miss, best_row
     [N] i32 with -1 for miss) matching ops/wavefront._dense_trace's
     accumulator outputs."""
     n = o3[0].shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
-    soa, bbT, bgT, mid, ct = _scene_operands(scene)
-    cp, clip_on = _scalar_operand(clip, mid, scene)
-    od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
-                        jnp.full((n,), BIG), mid, n_pad, active=active)
-    t, row = _grid_call(
-        _make_closest_kernel(_types(scene), _kpad(scene.num_clusters),
-                             clip_on),
-        True, n_pad, scene.num_clusters, (jnp.float32, jnp.int32),
-        od, soa, bbT, bgT, cp, ct, interpret)
+    if _use_perray(scene, perray):
+        soa, bbT, bgT, mid, ct = _scene_operands(scene)
+        cp, clip_on = _scalar_operand(clip, mid, scene)
+        od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
+                           jnp.full((n,), BIG), mid, n_pad, active=active)
+        w1, w2, w3, nr = _gather_operands(scene, mid)
+        t, row = _grid_call_perray(
+            _make_closest_kernel_perray(_single_type(scene),
+                                        _kpad(scene.num_clusters), clip_on),
+            True, n_pad, scene.num_clusters, nr, (jnp.float32, jnp.int32),
+            od, (w1, w2, w3), bbT, cp, interpret)
+    else:
+        soa, bbT, bgT, mid, ct = _scene_operands(scene)
+        cp, clip_on = _scalar_operand(clip, mid, scene)
+        od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
+                           jnp.full((n,), BIG), mid, n_pad, active=active)
+        t, row = _grid_call(
+            _make_closest_kernel(_types(scene), _kpad(scene.num_clusters),
+                                 clip_on),
+            True, n_pad, scene.num_clusters, (jnp.float32, jnp.int32),
+            od, soa, bbT, bgT, cp, ct, interpret)
     closest = t[:n]
     best_row = row[:n]
     if active is not None:
@@ -638,7 +982,7 @@ def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
 
 
 def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
-              active=None, interpret=False):
+              active=None, interpret=False, perray=None):
     """Any hit with t in (accept_min, t_max) — the shadow-ray predicate of
     ops/wavefront._dense_trace."""
     n = o3[0].shape[0]
@@ -651,10 +995,19 @@ def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
     soa, bbT, bgT, mid, ct = _scene_operands(scene)
     cp, clip_on = _scalar_operand(clip, mid, scene)
     od = _ray_operands(o3, d3, t_min, lo, hi, mid, n_pad, active=active)
-    (found,) = _grid_call(
-        _make_any_kernel(_types(scene), _kpad(scene.num_clusters), clip_on),
-        False, n_pad, scene.num_clusters, (jnp.int32,),
-        od, soa, bbT, bgT, cp, ct, interpret)
+    if _use_perray(scene, perray):
+        w1, w2, w3, nr = _gather_operands(scene, mid)
+        (found,) = _grid_call_perray(
+            _make_any_kernel_perray(_single_type(scene),
+                                    _kpad(scene.num_clusters), clip_on),
+            False, n_pad, scene.num_clusters, nr, (jnp.int32,),
+            od, (w1, w2, w3), bbT, cp, interpret)
+    else:
+        (found,) = _grid_call(
+            _make_any_kernel(_types(scene), _kpad(scene.num_clusters),
+                             clip_on),
+            False, n_pad, scene.num_clusters, (jnp.int32,),
+            od, soa, bbT, bgT, cp, ct, interpret)
     found = found[:n] != 0
     if active is not None:
         found = found & active

@@ -244,7 +244,9 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
     a precomputed bounce-0 closest-hit record (the compaction path traces
     primaries for the full frame, partitions rays hit-first, then runs the
     rest of the transport on the compacted order). Returns (radiance
-    triple, seed) or with stats (radiance, seed, rays_traced)."""
+    triple, seed) or with stats (radiance, seed, (path_rays, occl_rays)):
+    path_rays counts closest-hit extension segments (camera + bounces),
+    occl_rays counts any-hit shadow/env-NEE candidate rays."""
     n = origin0[0].shape[0]
     bias = jnp.maximum(u.ray_bias, 1e-4)
     clip = _clip_tuple(flags, u)
@@ -253,7 +255,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
 
     def bounce_body(bounce, carry):
         (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
-         rx, ry, rz, last_pdf, alive, nrays) = carry
+         rx, ry, rz, last_pdf, alive, nrays, noccl) = carry
         origin = (ox, oy, oz)
         direction = (dx, dy, dz)
         throughput = (tpx, tpy, tpz)
@@ -308,7 +310,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
                      direction[0], direction[1], direction[2],
                      throughput[0], throughput[1], throughput[2],
                      radiance[0], radiance[1], radiance[2],
-                     last_pdf, alive, nrays)
+                     last_pdf, alive, nrays, noccl)
 
         # Everything below runs only when some lane in this chunk hit —
         # all-miss (pure background) chunks return here.
@@ -318,7 +320,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
 
     def shade_tail(bounce, rec, carry):
         (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
-         rx, ry, rz, last_pdf, alive, nrays) = carry
+         rx, ry, rz, last_pdf, alive, nrays, noccl) = carry
         origin = (ox, oy, oz)
         direction = (dx, dy, dz)
         throughput = (tpx, tpy, tpz)
@@ -410,7 +412,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
             d_cat = tuple(cat([s[1][c] for s in light_samples])
                           for c in range(3))
             act_cat = cat([s[4] for s in light_samples])
-            nrays = nrays + jnp.sum(act_cat.astype(jnp.int32))
+            noccl = noccl + jnp.sum(act_cat.astype(jnp.int32))
             smin = jnp.broadcast_to(shadow_min, (n,))
             occ_cat = _any_hit(
                 scene, flags, o_cat, d_cat, u.t_min, clip,
@@ -453,7 +455,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
             seed, env_dir, env_spdf = sample_env_direction_v3(env, seed)
             ndl_e = V.dot(sn, env_dir)
             candidate = shade_lane & (ndl_e > 0.0)
-            nrays = nrays + jnp.sum(candidate.astype(jnp.int32))
+            noccl = noccl + jnp.sum(candidate.astype(jnp.int32))
             occluded = _any_hit(
                 scene, flags, shadow_origin, env_dir, u.t_min, clip,
                 active=candidate,
@@ -536,7 +538,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
                 direction[0], direction[1], direction[2],
                 throughput[0], throughput[1], throughput[2],
                 radiance[0], radiance[1], radiance[2],
-                last_pdf, alive, nrays)
+                last_pdf, alive, nrays, noccl)
 
     ones = jnp.ones((n,), jnp.float32)
     zeros = jnp.zeros((n,), jnp.float32)
@@ -548,6 +550,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
         zeros, zeros.copy(), zeros.copy(),
         jnp.zeros((n,), jnp.float32),
         jnp.ones((n,), bool),
+        jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
     # Unrolled bounce loop; bounces past the first run under a whole-body
@@ -565,7 +568,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
             )
     radiance = V.min_with((carry[10], carry[11], carry[12]), RADIANCE_CLAMP)
     if with_stats:
-        return radiance, carry[0], carry[15]
+        return radiance, carry[0], (carry[15], carry[16])
     return radiance, carry[0]
 
 
@@ -731,8 +734,8 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
                                            with_stats=with_stats,
                                            interpret=pallas_forced_interpret())
         if with_stats:
-            # The megakernel counts shadow candidates per lane; primaries
-            # and live bounces are counted in-kernel as well.
+            # The megakernel counts path segments and shadow candidates
+            # in-kernel (si_ref rows 1/2).
             return radiance, jnp.zeros((), jnp.uint32), nrays
         return radiance, jnp.zeros((), jnp.uint32)
 
@@ -816,8 +819,7 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
     out = jax.lax.map(chunk_fn, state)
     if with_stats:
         colors, nrays = out
-        # The primary traversal itself counted n rays before compaction.
-        total_rays = jnp.sum(nrays)
+        total_rays = jax.tree_util.tree_map(jnp.sum, nrays)
         colors = unperm(colors.reshape(n, 3))
         return V.from_array(colors), seed, total_rays
     colors = unperm(out.reshape(n, 3))
@@ -846,15 +848,21 @@ def render_batch(scene, env, vol, flags, u, px, py, frame_index):
 
 @partial(jax.jit, static_argnames=("flags",))
 def render_batch_stats(scene, env, vol, flags, u, px, py, frame_index):
-    """render_batch + traced-ray count (the Mrays/s denominator)."""
+    """render_batch + traced-ray counts (the Mrays/s denominator).
+
+    Returns (color [B,3], (path_rays, occl_rays)): path_rays = closest-hit
+    extension segments (camera rays + surviving bounce rays); occl_rays =
+    any-hit occlusion candidates (3-light shadow rays + env-NEE rays).
+    Together they are every traversal the frame pays for — BASELINE.md's
+    10-25 Mray frame estimate counts both kinds."""
     total = V.full(px.shape, 0.0)
-    rays = jnp.zeros((), jnp.int32)
+    rays = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     for s in range(flags.spp):
         out = _sample_radiance(scene, env, vol, flags, u, px, py,
                                frame_index, s, with_stats=True)
         radiance, _, nrays = out
         total = V.add(total, radiance)
-        rays = rays + nrays
+        rays = (rays[0] + nrays[0], rays[1] + nrays[1])
     return V.to_array(V.scale(total, u.exposure / flags.spp)), rays
 
 
