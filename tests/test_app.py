@@ -211,6 +211,56 @@ class TestServer:
         state.update_light(2, {"intensity": 1.0})
         assert state.state()["frame_index"] == 0
 
+    def test_viewer_sky_route(self):
+        """The /sky update path (environment_controller.js:167-192): a
+        parameter change regenerates the env + resets accumulation; bad
+        values are rejected with the env untouched; enabled:false tears
+        down to lights-only."""
+        from webgl_raytracer_tpu.app.server import ViewerState
+
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        state = ViewerState(r)
+        out = state.update_sky({"turbidity": 4.0, "sun_elevation_deg": 10.0,
+                                "width": 64, "height": 32})
+        # width/height are ignored live controls; params still apply.
+        assert out["ok"] and r.env is not None
+        assert state._sky["turbidity"] == 4.0
+        env_before = r.env
+        out = state.update_sky({"turbidity": 99.0})   # out of range 1..20
+        assert not out["ok"] and r.env is env_before
+        state.frame_png()
+        assert state.update_sky({"sun_azimuth_deg": -40.0})["ok"]
+        assert state.state()["frame_index"] == 0
+        assert state.update_sky({"enabled": False})["ok"]
+        assert r.env is None
+
+    def test_viewer_load_route(self):
+        """In-session scene switching (main.js:1900-1934): known scenes
+        swap the compiled scene + refit the camera; unknown names and bad
+        styles surface errors without touching the renderer."""
+        from webgl_raytracer_tpu.app.server import ViewerState
+
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        state = ViewerState(r)
+        prims0 = r.scene.prim_count
+        out = state.load_scene({"scene": "caffeine"})
+        assert out["ok"] and out["prims"] == r.scene.prim_count
+        assert r.scene.prim_count != prims0
+        assert state.state()["frame_index"] == 0
+        dist_caffeine = float(r.camera.distance)
+        out = state.load_scene({"scene": "spheres200"})
+        assert out["ok"]
+        assert float(r.camera.distance) != dist_caffeine   # camera refit
+        out = state.load_scene({"scene": "nope"})
+        assert not out["ok"] and "unknown scene" in out["error"]
+        out = state.load_scene({"scene": "caffeine", "style": "bogus"})
+        assert not out["ok"]
+        # Bundled protein asset loads through the same route.
+        out = state.load_scene({"scene": "protein:TSTP", "style": "cartoon"})
+        assert out["ok"] and r.scene.tri_count > 0
+
 
 class TestUtils:
     def test_format_poly_count(self):

@@ -65,6 +65,19 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--tone-map", default="aces", choices=("linear", "aces", "reinhard"))
     p.add_argument("--sky", action="store_true", help="analytic Preetham sky env")
+    sky = p.add_argument_group(
+        "analytic sky parameters (the reference's sky block, "
+        "index.html:702-788; defaults analytic_sky.js:3-14)")
+    sky.add_argument("--sky-turbidity", type=float, default=2.5)
+    sky.add_argument("--sun-az", type=float, default=30.0,
+                     help="sun azimuth, degrees")
+    sky.add_argument("--sun-el", type=float, default=35.0,
+                     help="sun elevation, degrees")
+    sky.add_argument("--sky-intensity", type=float, default=1.0)
+    sky.add_argument("--sun-intensity", type=float, default=20.0)
+    sky.add_argument("--sun-radius", type=float, default=0.27,
+                     help="sun angular radius, degrees")
+    sky.add_argument("--ground-albedo", type=float, default=0.2)
     p.add_argument("--no-env", action="store_true",
                    help="disable environment lighting (lights only)")
     p.add_argument("--hdr", help="path to a .hdr environment map")
@@ -125,6 +138,19 @@ def _load_scene(args, logger):
     return loaded, mol
 
 
+def sky_kwargs(args) -> dict:
+    """CLI sky flags -> normalize_analytic_sky_settings kwargs."""
+    return dict(
+        turbidity=args.sky_turbidity,
+        sun_azimuth_deg=args.sun_az,
+        sun_elevation_deg=args.sun_el,
+        sky_intensity=args.sky_intensity,
+        sun_intensity=args.sun_intensity,
+        sun_angular_radius_deg=args.sun_radius,
+        ground_albedo=args.ground_albedo,
+    )
+
+
 def _make_renderer(args, loaded, logger) -> Renderer:
     settings = RenderSettings(
         material_mode=args.material,
@@ -151,7 +177,7 @@ def _make_renderer(args, loaded, logger) -> Renderer:
         env = ctrl.load_hdr_file(args.hdr)
     elif args.sky or not args.no_env:
         ctrl = EnvironmentController(logger=logger)
-        env = ctrl.load_analytic_sky()
+        env = ctrl.load_analytic_sky(**sky_kwargs(args))
 
     volume = loaded.volume.to_device_buffers() if loaded.volume is not None else None
     r = Renderer(loaded.scene, settings=settings, env=env, volume=volume,
@@ -272,7 +298,9 @@ def cmd_serve(args) -> int:
     r = _make_renderer(args, loaded, logger)
     from .server import serve
 
-    serve(r, host=args.host, port=args.port, logger=logger)
+    serve(r, host=args.host, port=args.port, logger=logger,
+          sky_params=sky_kwargs(args),
+          env_enabled=not args.no_env and not args.hdr)
     return 0
 
 

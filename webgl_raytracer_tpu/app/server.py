@@ -12,6 +12,13 @@ Endpoints:
   POST /settings    partial RenderSettings update (resets accumulation)
   GET  /hover?x=&y= hover pick: primitive label + projected AABB rect
   POST /focus       {"x","y"} click-to-focus (sets dof_focus_distance)
+  POST /sky         partial analytic-sky update (turbidity, sun az/el,
+                    intensities, albedo, radius, enabled) — regenerates the
+                    env and resets accumulation (environment_controller.js:
+                    167-192)
+  POST /load        {"scene": name, "style": ..., "surface": bool} switches
+                    the scene in-session (the reference's example-scene
+                    dropdown, index.html:530-551 / main.js:1900-1934)
 
 Implemented on the stdlib HTTP server so it runs with zero extra
 dependencies; `asgi_app(renderer)` wraps the same handlers for uvicorn
@@ -144,6 +151,47 @@ VIEWER_HTML = """<!DOCTYPE html>
  <span data-light-row="1"></span>
  <span data-light-row="2"></span>
 </fieldset>
+<fieldset><legend>analytic sky (index.html:702-788)</legend>
+ <label><input type="checkbox" data-sky="enabled" checked> on</label>
+ <label>turbidity <input type="range" data-sky="turbidity"
+   min="1" max="10" step="0.1" value="2.5"></label>
+ <label>sun az <input type="range" data-sky="sun_azimuth_deg"
+   min="-180" max="180" step="1" value="30"></label>
+ <label>sun el <input type="range" data-sky="sun_elevation_deg"
+   min="-10" max="90" step="1" value="35"></label>
+ <label>sky int <input type="range" data-sky="sky_intensity"
+   min="0" max="5" step="0.1" value="1"></label>
+ <label>sun int <input type="range" data-sky="sun_intensity"
+   min="0" max="100" step="1" value="20"></label>
+ <label>albedo <input type="range" data-sky="ground_albedo"
+   min="0" max="1" step="0.02" value="0.2"></label>
+ <label>sun radius <input type="range" data-sky="sun_angular_radius_deg"
+   min="0.05" max="2" step="0.01" value="0.27"></label>
+</fieldset>
+<fieldset><legend>scene (index.html:530-551)</legend>
+ <select id="sceneSel">
+  <option value="primitives">test primitives</option>
+  <option value="spheres1000">1000 random spheres</option>
+  <option value="spheres10000">10000 random spheres</option>
+  <option value="caffeine">caffeine</option>
+  <option value="aspirin">aspirin</option>
+  <option value="benzene">benzene</option>
+  <option value="ethanol">ethanol</option>
+  <option value="ibuprofen">ibuprofen</option>
+  <option value="glucose">glucose</option>
+  <option value="protein:TSTP">TSTP (bundled protein)</option>
+  <option value="pdb:1STP">1STP (RCSB fetch)</option>
+  <option value="pdb:1CRN">1CRN (RCSB fetch)</option>
+  <option value="pdb:4HHB">4HHB (RCSB fetch)</option>
+ </select>
+ <select id="styleSel">
+  <option>ball-and-stick</option><option>vdw</option>
+  <option>stick</option><option>cartoon</option>
+ </select>
+ <label><input type="checkbox" id="sesChk"> SES surface</label>
+ <button id="loadBtn">load</button>
+ <span id="loadMsg"></span>
+</fieldset>
 </div>
 <script>
 const img = document.getElementById('frame');
@@ -261,6 +309,25 @@ document.querySelectorAll('[data-lk]').forEach(el => {
       {index: +el.dataset.li, [el.dataset.lk]: val})});
   });
 });
+// Analytic-sky sliders regenerate the env (environment_controller.js:167-192).
+document.querySelectorAll('[data-sky]').forEach(el => {
+  el.addEventListener('change', async () => {
+    const val = el.type === 'checkbox' ? el.checked : parseFloat(el.value);
+    await fetch('/sky', {method:'POST',
+      body: JSON.stringify({[el.dataset.sky]: val})});
+  });
+});
+// In-session scene switching (main.js:1900-1934).
+document.getElementById('loadBtn').addEventListener('click', async () => {
+  const msg = document.getElementById('loadMsg');
+  msg.textContent = 'loading...';
+  const r = await (await fetch('/load', {method:'POST', body: JSON.stringify({
+    scene: document.getElementById('sceneSel').value,
+    style: document.getElementById('styleSel').value,
+    surface: document.getElementById('sesChk').checked,
+  })})).json();
+  msg.textContent = r.ok ? `${r.prims} prims` : (r.error || 'failed');
+});
 </script>
 </body></html>
 """
@@ -272,12 +339,25 @@ class ViewerState:
     # (the reference drops to 0.25x while dragging, main.js:149-151).
     SETTLE_SECONDS = 0.6
 
-    def __init__(self, renderer, logger=None):
+    def __init__(self, renderer, logger=None, sky_params=None,
+                 env_enabled=True):
         self.renderer = renderer
         self.logger = logger
         self.lock = threading.Lock()
         self._last_input = 0.0
         self._rotate_lock = None   # first-drag yaw/pitch axis lock
+        # Analytic-sky state (the viewer's env is either this sky or off;
+        # HDR-file envs stay whatever the CLI loaded until a sky update).
+        self._sky = dict(sky_params or {})
+        self._sky_enabled = bool(env_enabled)
+        self._env_ctrl = None
+
+    def _controller(self):
+        if self._env_ctrl is None:
+            from ..env import EnvironmentController
+
+            self._env_ctrl = EnvironmentController(logger=self.logger)
+        return self._env_ctrl
 
     def _interactive(self) -> None:
         """Mark a camera/settings input: drop to the fast preview scale."""
@@ -481,6 +561,99 @@ class ViewerState:
             self._interactive()
             self.renderer.reset_accumulation()
 
+    def update_sky(self, updates: dict) -> dict:
+        """Partial analytic-sky update: merge validated params, regenerate
+        the env image (controller cache dedups identical keys), swap it into
+        the renderer, reset accumulation — updateEnvironmentState
+        (environment_controller.js:167-192). {"enabled": false} tears the
+        environment down to lights-only (controller teardown, :110-128)."""
+        from ..env.sky import normalize_analytic_sky_settings
+
+        with self.lock:
+            if "enabled" in updates:
+                self._sky_enabled = bool(updates.pop("enabled"))
+            params = dict(self._sky)
+            for key, value in updates.items():
+                if key in ("width", "height"):
+                    continue          # image size is not a live control
+                params[key] = value
+            try:
+                normalize_analytic_sky_settings(**params)
+            except (TypeError, ValueError) as exc:
+                if self.logger:
+                    self.logger.warn(f"rejected sky update: {exc}")
+                return {"ok": False, "error": str(exc)}
+            self._sky = params
+            if self._sky_enabled:
+                env = self._controller().load_analytic_sky(**params)
+            else:
+                self._controller().clear()
+                env = None
+            self.renderer.set_env(env)
+            self._interactive()
+            return {"ok": True, "enabled": self._sky_enabled}
+
+    def load_scene(self, spec: dict) -> dict:
+        """In-session scene switch over the reference's example list
+        (index.html:530-551 -> loadExampleScene, main.js:1900-1934):
+        synthetic test scenes, built-in molecules, the bundled protein
+        asset, and pdb:ID RCSB fetches. The viewer lock doubles as the
+        reference's isLoading guard (main.js:1901-1903)."""
+        import os
+
+        from ..models import fetch_pdb, get_builtin_molecule, parse_auto_detect
+        from ..models.molecular import BUILTIN_MOLECULE_NAMES
+        from .pipeline import (DISPLAY_STYLES, load_molecule_scene,
+                               load_random_spheres, load_test_primitives)
+
+        name = str(spec.get("scene", ""))
+        style = str(spec.get("style", "ball-and-stick"))
+        if style not in DISPLAY_STYLES:
+            return {"ok": False, "error": f"unknown style: {style}"}
+        surface = bool(spec.get("surface", False))
+        volume = bool(spec.get("volume", False))
+        with self.lock:
+            try:
+                if name == "primitives":
+                    loaded = load_test_primitives()
+                elif name.startswith("spheres"):
+                    count = int(name[len("spheres"):] or 1000)
+                    if not 1 <= count <= 1_000_000:
+                        raise ValueError(f"sphere count out of range: {count}")
+                    loaded = load_random_spheres(count)
+                else:
+                    if name in BUILTIN_MOLECULE_NAMES:
+                        mol = get_builtin_molecule(name)
+                    elif name.startswith("protein:"):
+                        asset = os.path.join(
+                            os.path.dirname(os.path.dirname(
+                                os.path.dirname(os.path.abspath(__file__)))),
+                            "assets", "proteins", name[len("protein:"):] + ".pdb")
+                        if not os.path.isfile(asset):
+                            raise ValueError(f"no bundled protein {name}")
+                        with open(asset, encoding="utf-8") as f:
+                            mol = parse_auto_detect(f.read(), asset)
+                    elif name.startswith("pdb:"):
+                        mol = fetch_pdb(name[len("pdb:"):])
+                    else:
+                        raise ValueError(f"unknown scene: {name}")
+                    loaded = load_molecule_scene(
+                        mol, display_style=style, show_surface=surface,
+                        volume_enabled=volume, logger=self.logger)
+            except Exception as exc:   # surface load failures as 200+error,
+                if self.logger:        # like the reference's status log
+                    self.logger.error(f"scene load failed: {exc}")
+                return {"ok": False, "error": str(exc)}
+            vol = (loaded.volume.to_device_buffers()
+                   if loaded.volume is not None else None)
+            self.renderer.set_scene(loaded.scene, volume=vol)
+            self.renderer.settings.volume_enabled = vol is not None
+            if self.logger:
+                self.logger.info(
+                    f"Loaded {name}: {loaded.scene.prim_count} prims")
+            return {"ok": True, "scene": name,
+                    "prims": int(self.renderer.scene.prim_count)}
+
 
 def _make_handler(state: ViewerState):
     class Handler(BaseHTTPRequestHandler):
@@ -529,6 +702,12 @@ def _make_handler(state: ViewerState):
                 state.update_settings(body)
             elif path == "/light":
                 state.update_light(int(body.pop("index", -1)), body)
+            elif path == "/sky":
+                self._send(200, json.dumps(state.update_sky(body)).encode())
+                return
+            elif path == "/load":
+                self._send(200, json.dumps(state.load_scene(body)).encode())
+                return
             elif path == "/focus":
                 d = state.focus(float(body.get("x", 0)), float(body.get("y", 0)))
                 self._send(200, json.dumps(
@@ -546,8 +725,10 @@ def _make_handler(state: ViewerState):
     return Handler
 
 
-def serve(renderer, host="127.0.0.1", port=8000, logger=None):
-    state = ViewerState(renderer, logger)
+def serve(renderer, host="127.0.0.1", port=8000, logger=None,
+          sky_params=None, env_enabled=True):
+    state = ViewerState(renderer, logger, sky_params=sky_params,
+                        env_enabled=env_enabled)
     server = ThreadingHTTPServer((host, port), _make_handler(state))
     if logger:
         logger.info(f"Viewer at http://{host}:{port}/ (Ctrl-C to stop)")
@@ -559,10 +740,11 @@ def serve(renderer, host="127.0.0.1", port=8000, logger=None):
         server.server_close()
 
 
-def asgi_app(renderer, logger=None):
+def asgi_app(renderer, logger=None, sky_params=None, env_enabled=True):
     """Minimal ASGI wrapper over the same state (run with uvicorn for
     parity with the reference's ASGI dev server)."""
-    state = ViewerState(renderer, logger)
+    state = ViewerState(renderer, logger, sky_params=sky_params,
+                        env_enabled=env_enabled)
 
     async def app(scope, receive, send):
         if scope["type"] != "http":
@@ -618,6 +800,12 @@ def asgi_app(renderer, logger=None):
                 state.update_settings(data)
             elif path == "/light":
                 state.update_light(int(data.pop("index", -1)), data)
+            elif path == "/sky":
+                await respond(200, json.dumps(state.update_sky(data)).encode())
+                return
+            elif path == "/load":
+                await respond(200, json.dumps(state.load_scene(data)).encode())
+                return
             elif path == "/focus":
                 d = state.focus(float(data.get("x", 0)), float(data.get("y", 0)))
                 await respond(200, json.dumps(

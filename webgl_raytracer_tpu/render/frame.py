@@ -114,6 +114,42 @@ class Renderer:
     def reset_accumulation(self) -> None:
         self.frame_index = 0
 
+    def set_env(self, env) -> None:
+        """Swap the environment (or None) and restart accumulation — the
+        environment_controller.js:167-192 update path: regenerate, upload,
+        resetAccumulation."""
+        if self.mesh is not None and env is not None:
+            from ..parallel import replicate_scene
+
+            env = replicate_scene(env, self.mesh)
+        self.env = env
+        self.reset_accumulation()
+
+    def set_scene(self, scene: SceneBuffers, volume=None,
+                  auto_fit: bool = True) -> None:
+        """Swap the compiled scene in-session (the reference's example-scene
+        switcher, main.js:1900-1934): bounds, scene scale, ray bias, and the
+        camera fit are recomputed; accumulation restarts."""
+        if self.mesh is not None:
+            from ..parallel import replicate_scene
+
+            self.scene = replicate_scene(scene, self.mesh)
+            self.volume = (replicate_scene(volume, self.mesh)
+                           if volume is not None else None)
+        else:
+            self.scene = (scene.device_put(None)
+                          if isinstance(scene.node_bmin, np.ndarray) else scene)
+            self.volume = volume
+        lo, hi = scene_bounds(self.scene)
+        self.bounds = (np.asarray(lo), np.asarray(hi))
+        self.scene_scale = scene_scale(self.scene)
+        suggested = max(1e-5, self.scene_scale * 1e-5)
+        self.settings.ray_bias = suggested
+        self.settings.t_min = suggested
+        if auto_fit:
+            self.camera.fit_to_bounds(*self.bounds)
+        self.reset_accumulation()
+
     def resize(self, width: int, height: int) -> None:
         if width != self.width or height != self.height:
             self.width, self.height = int(width), int(height)
