@@ -117,6 +117,40 @@ def test_masked_matches_block(sphere_scene):
     np.testing.assert_array_equal(np.asarray(fb), np.asarray(fp))
 
 
+def test_cost_counters(sphere_scene):
+    """with_cost: the block kernel reports 128 x clusters-swept-by-block
+    (the union cost) per ray; the per-ray kernel reports 128 x its own
+    pops — never more than the block's union, and the hit/row outputs are
+    unchanged by the counting."""
+    o3, d3, tmin = _ray_batch(5, 1500)
+    tb, rb = PS.trace_closest(sphere_scene, o3, d3, tmin, interpret=True,
+                              perray=False)
+    tb2, rb2, cb = PS.trace_closest(sphere_scene, o3, d3, tmin,
+                                    interpret=True, perray=False,
+                                    with_cost=True)
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(rb2))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb2))
+    cb = np.asarray(cb)
+    hit = np.asarray(rb) >= 0
+    assert (cb[hit] >= 128).all()
+    assert cb.max() <= sphere_scene.num_clusters * 128
+
+    tp, rp, cp = PS.trace_closest(sphere_scene, o3, d3, tmin,
+                                  interpret=True, perray=True,
+                                  with_cost=True)
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
+    cp = np.asarray(cp)
+    assert (cp <= cb).all()          # own chain <= block union
+    assert cp[hit].mean() < cb[hit].mean()
+
+    fb, cab = PS.trace_any(sphere_scene, o3, d3, tmin, t_max=30.0,
+                           interpret=True, perray=False, with_cost=True)
+    fp, cap = PS.trace_any(sphere_scene, o3, d3, tmin, t_max=30.0,
+                           interpret=True, perray=True, with_cost=True)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fp))
+    assert (np.asarray(cap) <= np.asarray(cab)).all()
+
+
 def test_clip_matches_block(tri_scene):
     o3, d3, tmin = _ray_batch(3, 1024)
     clip = (np.array([0.0, 1.0, 0.0], np.float32), 0.0, 1.0)

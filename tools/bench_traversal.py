@@ -102,11 +102,24 @@ def main() -> None:
     bd3 = tuple(jnp.asarray(bd[:, i]) for i in range(3))
     bo3 = tuple(hx[i] + bd3[i] * bias for i in range(3))
 
+    # Dense compacted variants: the production integrator hit-first
+    # permutes, so real shadow/secondary batches are ~100% ACTIVE and
+    # divergent — the exact shape where the block kernel pays the cluster
+    # UNION per block. Pack the hit rays contiguously (repeating to a
+    # full batch so per-trace times stay comparable).
+    hidx = np.flatnonzero(np.asarray(hit))
+    reps = int(np.ceil(n / max(1, hidx.size)))
+    dense = jnp.asarray(np.tile(hidx, reps)[:n])
+
+    def take(t3):
+        return tuple(t3[i][dense] for i in range(3))
+
     pops = {
         "primary": (o3, d3, None, "closest"),
         "secondary": (bo3, bd3, hit, "closest"),
         "shadow": (so3, sd3, hit, "any"),
-        "shadow_closest": (so3, sd3, hit, "closest"),
+        "dense_secondary": (take(bo3), take(bd3), None, "closest"),
+        "dense_shadow": (take(so3), take(sd3), None, "any"),
     }
 
     def make_block(key, perray):

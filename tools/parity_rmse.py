@@ -11,10 +11,24 @@ the RMSE below measures arithmetic fidelity, not Monte-Carlo variance,
 and the BASELINE.md criterion (<=1e-3 RMSE on the bundled molecule set)
 is testable directly.
 
+Coverage (every material mode + every geometry generator + every env
+source the renderer ships): metallic/matte ball-and-stick, stick style,
+the scaling sphere scene, surface-glass (mode 2) over an SES mesh,
+translucent-plastic (mode 3), a cartoon protein mesh, a nitrogen density
+volume march, the analytic sky, the bundled concentrated-sun HDR file,
+DoF, and a clip plane.
+
+Gates: stream-exact rows pass at flip-excluded RMSE <= 1e-3 (raw RMSE and
+flip fraction reported beside it; the flip-fraction decay sweep at the
+bottom demonstrates the excluded mass shrinks ~1/frames as claimed).
+Glass rows (modes 2/3) diverge in RNG consumption, so they compare
+CONVERGED images — >= 64 frames on both sides — and must pass at
+RMSE <= 3e-3 with no exclusions.
+
 Writes PARITY_RMSE.json at the repo root.
 
 Usage:
-  python tools/parity_rmse.py [--size 64] [--frames 4] [--out PARITY_RMSE.json]
+  python tools/parity_rmse.py [--size 128] [--glass-frames 64] [--out F]
 """
 
 from __future__ import annotations
@@ -27,14 +41,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=64)
-    ap.add_argument("--frames", type=int, default=4)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "PARITY_RMSE.json"))
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=6,
+                    help="frames for stream-exact rows")
+    ap.add_argument("--glass-frames", type=int, default=64,
+                    help="frames for the converged glass comparisons")
+    ap.add_argument("--oracle-chunk", type=int, default=4096)
+    ap.add_argument("--skip-decay", action="store_true")
+    ap.add_argument("--only", help="substring filter on scene names")
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_RMSE.json"))
     args = ap.parse_args()
 
     from webgl_raytracer_tpu.utils import enable_compilation_cache
@@ -47,7 +67,7 @@ def main() -> None:
     from webgl_raytracer_tpu.app.pipeline import (
         load_molecule_scene, load_random_spheres)
     from webgl_raytracer_tpu.env.controller import EnvironmentController
-    from webgl_raytracer_tpu.models import get_builtin_molecule
+    from webgl_raytracer_tpu.models import get_builtin_molecule, parse_auto_detect
     from webgl_raytracer_tpu.render import Renderer
     from webgl_raytracer_tpu.render.config import split_settings
     from webgl_raytracer_tpu.render.integrator import render_batch
@@ -55,90 +75,143 @@ def main() -> None:
     from webgl_raytracer_tpu.render.reference_oracle import render_batch_oracle
 
     size = args.size
-    n_frames = args.frames
     envc = EnvironmentController()
     sky = envc.load_analytic_sky(width=128, height=64)
+    sun_hdr = envc.load_hdr_file(
+        os.path.join(REPO, "assets", "env", "sunny_sky_256x128.hdr"))
 
     def molecule(name, **kw):
         return load_molecule_scene(get_builtin_molecule(name), **kw)
 
+    def protein_cartoon():
+        with open(os.path.join(REPO, "assets", "proteins", "TSTP.pdb")) as f:
+            mol = parse_auto_detect(f.read(), "TSTP.pdb")
+        return load_molecule_scene(mol, display_style="cartoon")
+
+    # (name, loaded, env, overrides, extra) — extra: clip=True, volume=True,
+    # frames override, size override.
     configs = [
         ("caffeine-metallic", molecule("caffeine"), None,
-         dict(material_mode="metallic", metallic=0.85, roughness=0.35)),
+         dict(material_mode="metallic", metallic=0.85, roughness=0.35), {}),
         ("caffeine-matte", molecule("caffeine"), None,
-         dict(material_mode="matte")),
+         dict(material_mode="matte"), {}),
         ("caffeine-sky-env", molecule("caffeine"), sky,
-         dict(material_mode="metallic", env_intensity=0.4)),
+         dict(material_mode="metallic", env_intensity=0.4), {}),
+        ("caffeine-hdr-sun", molecule("caffeine"), sun_hdr,
+         dict(material_mode="metallic", env_intensity=0.4), {}),
         ("caffeine-dof", molecule("caffeine"), None,
-         dict(material_mode="metallic", dof_enabled=True, dof_aperture=0.05)),
+         dict(material_mode="metallic", dof_enabled=True, dof_aperture=0.05),
+         {}),
+        ("caffeine-clip", molecule("caffeine"), None,
+         dict(material_mode="metallic"), dict(clip=True)),
+        ("caffeine-volume", molecule("caffeine", volume_enabled=True), None,
+         dict(material_mode="metallic", volume_enabled=True,
+              volume_density=1.5), dict(volume=True)),
         ("aspirin-stick", load_molecule_scene(get_builtin_molecule("aspirin"),
                                               display_style="stick"), None,
-         dict(material_mode="metallic")),
+         dict(material_mode="metallic"), {}),
+        ("tstp-cartoon", protein_cartoon(), None,
+         dict(material_mode="matte"), dict(frames=3)),
         ("spheres1000", load_random_spheres(1000), None,
-         dict(material_mode="metallic")),
+         dict(material_mode="metallic"), {}),
         # Glass modes consume RNG draws divergently between the oracle (the
         # reference's per-pixel control flow) and the vectorized device path
-        # (unconditional masked draws) — the comparison is statistical, so
-        # they are reported with their own looser threshold.
+        # (unconditional masked draws) — per-frame streams differ, so these
+        # compare CONVERGED images at a hard 3e-3 gate.
+        ("caffeine-ses-surface-glass",
+         molecule("caffeine", show_surface=True, surface_resolution=0.5),
+         None, dict(material_mode="surface-glass", surface_opacity=0.25,
+                    surface_transmission=0.5), dict(glass=True)),
         ("glucose-translucent", molecule("glucose"), None,
-         dict(material_mode="translucent-plastic", surface_opacity=0.3)),
+         dict(material_mode="translucent-plastic", surface_opacity=0.3),
+         dict(glass=True)),
     ]
+    if args.only:
+        configs = [c for c in configs if args.only in c[0]]
 
-    results = []
-    for name, loaded, env, overrides in configs:
-        r = Renderer(loaded.scene, width=size, height=size, env=env)
+    def oracle_chunked(scene_np, env, vol, flags, u_np, px_np, py_np, f):
+        n = px_np.shape[0]
+        c = args.oracle_chunk
+        if n <= c:
+            return render_batch_oracle(scene_np, env, vol, flags, u_np,
+                                       px_np, py_np, f)
+        outs = [render_batch_oracle(scene_np, env, vol, flags, u_np,
+                                    px_np[i:i + c], py_np[i:i + c], f)
+                for i in range(0, n, c)]
+        return np.concatenate(outs, axis=0)
+
+    def run_pair(loaded, env, overrides, clip_on=False, vol_on=False,
+                 n_frames=4, sz=64):
+        r = Renderer(loaded.scene, width=sz, height=sz, env=env)
         r.settings.tone_map = "linear"
         for k, v in overrides.items():
             setattr(r.settings, k, v)
+        if clip_on:
+            r.settings.clip_enabled = True
+            r.settings.clip_distance = 0.15 * r.scene_scale
+        vol = None
+        if vol_on and loaded.volume is not None:
+            vol = loaded.volume.to_device_buffers()
         basis = r.camera.basis()
+        clip = r.active_clip_plane(basis)
         flags, u = split_settings(
             r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
-            has_env=env is not None, has_volume=False, clip=None)
+            has_env=env is not None, has_volume=vol is not None, clip=clip)
         px, py = r._pixel_grids()
         u_np = jax.tree_util.tree_map(np.asarray, u)
+        vol_np = (jax.tree_util.tree_map(np.asarray, vol)
+                  if vol is not None else None)
         px_np, py_np = np.asarray(px), np.asarray(py)
 
         acc_dev = None
         acc_ora = None
-        t0 = time.perf_counter()
         for f in range(n_frames):
-            cd = np.asarray(render_batch(r.scene, r.env, None, flags, u, px, py,
+            cd = np.asarray(render_batch(r.scene, r.env, vol, flags, u, px, py,
                                          np.uint32(f)))
-            co = render_batch_oracle(loaded.scene, env, None, flags, u_np,
-                                     px_np, py_np, f)
+            co = oracle_chunked(loaded.scene, env, vol_np, flags, u_np,
+                                px_np, py_np, f)
             if acc_dev is None:
                 acc_dev, acc_ora = cd, co
             else:
                 fi = np.float32(f)
                 acc_dev = (acc_dev * fi + cd) / (fi + 1)
                 acc_ora = (acc_ora * fi + co) / (fi + 1)
+        return flags, acc_dev, acc_ora
+
+    results = []
+    for name, loaded, env, overrides, extra in configs:
+        glass = bool(extra.get("glass"))
+        n_frames = extra.get("frames",
+                             args.glass_frames if glass else args.frames)
+        t0 = time.perf_counter()
+        flags, acc_dev, acc_ora = run_pair(
+            loaded, env, overrides, clip_on=bool(extra.get("clip")),
+            vol_on=bool(extra.get("volume")), n_frames=n_frames, sz=size)
         dt = time.perf_counter() - t0
         diff = acc_dev - acc_ora
         rmse = float(np.sqrt(np.mean(diff ** 2)))
         mad = float(np.abs(diff).max())
         # Decision-flip diagnostics: both paths compute the same f32
         # expressions, but compiler FMA contraction perturbs last-ulp
-        # results; on grazing hits the sphere quadratic's cancellation
-        # amplifies this, and a perturbed value crossing an RNG decision
-        # boundary (lobe choice, Russian roulette, shadow tie) flips that
-        # pixel's whole sample. Flipped pixels measure arithmetic noise ×
-        # Monte-Carlo sensitivity, not transport error — so both the raw
-        # RMSE and the flip-excluded RMSE are reported.
+        # results; a perturbed value crossing an RNG decision boundary
+        # (lobe choice, RR, shadow tie) flips that pixel's whole sample.
+        # Flipped pixels measure arithmetic noise x Monte-Carlo
+        # sensitivity, not transport error; their mass decays ~1/frames
+        # (see flip_decay below), so stream-exact rows gate on the
+        # flip-excluded RMSE with the raw value reported beside it.
         flip = np.abs(diff).max(axis=-1) > 0.01
         flip_fraction = float(flip.mean())
         keep = ~flip
-        rmse_robust = float(np.sqrt(np.mean(diff[keep] ** 2))) if keep.any() else rmse
-        stream_exact = flags.material_mode not in (2, 3)
-        threshold = 1e-3
-        # Gate on the flip-excluded RMSE: flipped pixels are *entire samples*
-        # re-decided off a last-ulp boundary, and their contribution decays
-        # only as 1/sqrt(frames) (measured: spheres1000 raw RMSE 1.6e-2 at 8
-        # frames, per-sample flip prob ~1%) — the raw number is reported
-        # alongside so the decay is checkable at any frame count.
-        passed = (rmse <= threshold) or (stream_exact and rmse_robust <= threshold
-                                         and flip_fraction < 0.15)
-        if not stream_exact:
-            passed = rmse <= 0.15   # glass modes: statistical comparison only
+        rmse_robust = (float(np.sqrt(np.mean(diff[keep] ** 2)))
+                       if keep.any() else rmse)
+        stream_exact = not glass
+        if stream_exact:
+            threshold = 1e-3
+            passed = (rmse <= threshold
+                      or (rmse_robust <= threshold and flip_fraction < 0.05))
+        else:
+            threshold = 3e-3
+            passed = rmse <= threshold     # converged, no exclusions
         results.append({
             "scene": name,
             "material_mode": flags.material_mode,
@@ -153,17 +226,42 @@ def main() -> None:
             "pass": bool(passed),
             "seconds": round(dt, 1),
         })
-        print(f"{name:24s} rmse={rmse:.3e} robust={rmse_robust:.3e} "
+        print(f"{name:28s} rmse={rmse:.3e} robust={rmse_robust:.3e} "
               f"flips={flip_fraction:.4f} {'OK' if passed else 'FAIL'}")
 
+    # Flip-fraction decay: the same scene at increasing frame counts. Each
+    # flipped SAMPLE perturbs the running mean by ~its radiance/N, so both
+    # the flip mass above 0.01 and the raw RMSE should fall roughly as
+    # 1/frames — evidence the excluded pixels are sampling noise, not bias.
+    decay = []
+    if not args.skip_decay:
+        for nf in (4, 16, 64):
+            t0 = time.perf_counter()
+            _, d, o = run_pair(load_random_spheres(1000), None,
+                               dict(material_mode="metallic"),
+                               n_frames=nf, sz=64)
+            diff = d - o
+            decay.append({
+                "frames": nf,
+                "rmse": float(np.sqrt(np.mean(diff ** 2))),
+                "flip_fraction": float(
+                    (np.abs(diff).max(axis=-1) > 0.01).mean()),
+                "seconds": round(time.perf_counter() - t0, 1),
+            })
+            print(f"decay frames={nf:3d} rmse={decay[-1]['rmse']:.3e} "
+                  f"flips={decay[-1]['flip_fraction']:.4f}")
+
     out = {
-        "criterion": "RMSE <= 1e-3 vs reference-faithful oracle "
-                     "(BASELINE.md); glass modes statistical (see note)",
+        "criterion": "stream-exact rows: flip-excluded RMSE <= 1e-3 with "
+                     "flip fraction < 0.05 (raw RMSE reported; decay sweep "
+                     "shows flip mass ~1/frames); glass rows: converged "
+                     ">=64-frame RMSE <= 3e-3, no exclusions",
         "oracle": "webgl_raytracer_tpu/render/reference_oracle.py — NumPy "
                   "transliteration of /root/reference/src/webgl.js transport",
         "device": str(jax.devices()[0]),
         "all_pass": all(r["pass"] for r in results),
         "results": results,
+        "flip_decay_spheres1000_64px": decay,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

@@ -363,9 +363,13 @@ def _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply):
         apply(_prim_ts(cols, soa_ref, k, types, clip))
 
 
-def _make_closest_kernel(types, kpad, clip_on=False):
+def _make_closest_kernel(types, kpad, clip_on=False, with_cost=False):
     def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
-               ct_ref, t_out, row_out, bt_ref, bk_ref, ev_ref):
+               ct_ref, t_out, row_out, *rest):
+        if with_cost:
+            cost_out, bt_ref, bk_ref, ev_ref = rest
+        else:
+            bt_ref, bk_ref, ev_ref = rest
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
         cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
             od_ref[8, :][:, None],)
@@ -392,7 +396,7 @@ def _make_closest_kernel(types, kpad, clip_on=False):
                 return carry[1] < BIG
 
             def body(carry):
-                ev, _, k = carry
+                ev, _, k, nswept = carry
 
                 def apply(ts):
                     bt = bt_ref[:]
@@ -407,10 +411,15 @@ def _make_closest_kernel(types, kpad, clip_on=False):
                 # BIG, so only fully-hit blocks exit early.
                 bound = jnp.max(jnp.min(bt_ref[:], axis=1))
                 e_next = jnp.where(e_next < bound, e_next, INF)
-                return ev, e_next, k_next
+                return ev, e_next, k_next, nswept + 1
 
             e0, k0 = _pop_nearest(ev0, kio)
-            jax.lax.while_loop(cond, body, (ev0, e0, k0))
+            carry = jax.lax.while_loop(cond, body,
+                                       (ev0, e0, k0, jnp.int32(0)))
+            if with_cost:
+                # Every ray in the block pays every sweep: the cluster
+                # UNION cost (vs the per-ray kernels' own-chain cost).
+                cost_out[:] = jnp.full((BLOCK,), carry[3] * 128, jnp.int32)
 
             bt = bt_ref[:]
             tbest = jnp.min(bt, axis=1)
@@ -425,13 +434,19 @@ def _make_closest_kernel(types, kpad, clip_on=False):
         def _miss():
             t_out[:] = jnp.full((BLOCK,), BIG, jnp.float32)
             row_out[:] = jnp.full((BLOCK,), -1, jnp.int32)
+            if with_cost:
+                cost_out[:] = jnp.zeros((BLOCK,), jnp.int32)
 
     return kernel
 
 
-def _make_any_kernel(types, kpad, clip_on=False):
+def _make_any_kernel(types, kpad, clip_on=False, with_cost=False):
     def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
-               ct_ref, found_out, found_ref, ev_ref):
+               ct_ref, found_out, *rest):
+        if with_cost:
+            cost_out, found_ref, ev_ref = rest
+        else:
+            found_ref, ev_ref = rest
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
         cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
             od_ref[8, :][:, None],)
@@ -458,7 +473,7 @@ def _make_any_kernel(types, kpad, clip_on=False):
                 return carry[1] < BIG
 
             def body(carry):
-                ev, _, k = carry
+                ev, _, k, nswept = carry
 
                 def apply(ts):
                     hit = jnp.any((ts > lo_col) & (ts < hi_col), axis=1)
@@ -470,15 +485,20 @@ def _make_any_kernel(types, kpad, clip_on=False):
                 e_next, k_next = _pop_nearest(ev, kio)
                 # Occlusion queries stop once every ray is shadowed.
                 e_next = jnp.where(jnp.min(f) > 0, INF, e_next)
-                return ev, e_next, k_next
+                return ev, e_next, k_next, nswept + 1
 
             e0, k0 = _pop_nearest(ev0, kio)
-            jax.lax.while_loop(cond, body, (ev0, e0, k0))
+            carry = jax.lax.while_loop(cond, body,
+                                       (ev0, e0, k0, jnp.int32(0)))
             found_out[:] = jnp.where(act > 0.0, found_ref[:], 0)
+            if with_cost:
+                cost_out[:] = jnp.full((BLOCK,), carry[3] * 128, jnp.int32)
 
         @pl.when(~gate)
         def _miss():
             found_out[:] = jnp.zeros((BLOCK,), jnp.int32)
+            if with_cost:
+                cost_out[:] = jnp.zeros((BLOCK,), jnp.int32)
 
     return kernel
 
@@ -577,7 +597,7 @@ def _perray_pop(ev_ref, kio2, stop_mask):
     return sel, idx, oh_b
 
 
-def _make_closest_kernel_perray(stype, kpad, clip_on=False):
+def _make_closest_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
     """Per-ray front-to-back closest hit (see section comment). bt/bk are
     [BLOCK, 128] per-lane-slot accumulators exactly like the block-worklist
     kernel; idx is a per-ray column instead of a loop scalar."""
@@ -587,7 +607,11 @@ def _make_closest_kernel_perray(stype, kpad, clip_on=False):
              stype == PRIM_TRIANGLE)
 
     def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref, cp_ref,
-               t_out, row_out, bt_ref, bk_ref, ev_ref):
+               t_out, row_out, *rest):
+        if with_cost:
+            cost_out, bt_ref, bk_ref, ev_ref, cc_ref = rest
+        else:
+            bt_ref, bk_ref, ev_ref = rest
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
         cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
             od_ref[8, :][:, None],)
@@ -602,6 +626,8 @@ def _make_closest_kernel_perray(stype, kpad, clip_on=False):
                 jnp.where(act[:, None] > 0.0, BIG, -BIG), (BLOCK, 128))
             bk_ref[:] = jnp.zeros((BLOCK, 128), jnp.int32)
             ev_ref[:] = _slab_entries_rows(bbT_ref[:, :], od)
+            if with_cost:
+                cc_ref[:] = jnp.zeros((BLOCK,), jnp.int32)
             kio2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, kpad), 1)
 
             def pending():
@@ -625,9 +651,13 @@ def _make_closest_kernel_perray(stype, kpad, clip_on=False):
                 upd = (ts > 0.0) & (ts < bt) & sel[:, None]
                 bt_ref[:] = jnp.where(upd, ts, bt)
                 bk_ref[:] = jnp.where(upd, idx[:, None], bk_ref[:])
+                if with_cost:
+                    cc_ref[:] = cc_ref[:] + sel.astype(jnp.int32)
                 return pending()
 
             jax.lax.while_loop(lambda go: go, body, pending())
+            if with_cost:
+                cost_out[:] = cc_ref[:] * 128
 
             bt = bt_ref[:]
             tbest = jnp.min(bt, axis=1)
@@ -642,18 +672,24 @@ def _make_closest_kernel_perray(stype, kpad, clip_on=False):
         def _miss():
             t_out[:] = jnp.full((BLOCK,), BIG, jnp.float32)
             row_out[:] = jnp.full((BLOCK,), -1, jnp.int32)
+            if with_cost:
+                cost_out[:] = jnp.zeros((BLOCK,), jnp.int32)
 
     return kernel
 
 
-def _make_any_kernel_perray(stype, kpad, clip_on=False):
+def _make_any_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
     rows_idx = _PERRAY_ROWS[stype]
     rowmap = {r: j for j, r in enumerate(rows_idx)}
     types = (stype == PRIM_SPHERE, stype == PRIM_CYLINDER,
              stype == PRIM_TRIANGLE)
 
     def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref, cp_ref,
-               found_out, fd_ref, ev_ref):
+               found_out, *rest):
+        if with_cost:
+            cost_out, fd_ref, ev_ref, cc_ref = rest
+        else:
+            fd_ref, ev_ref = rest
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
         cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
             od_ref[8, :][:, None],)
@@ -670,6 +706,8 @@ def _make_any_kernel_perray(stype, kpad, clip_on=False):
             # Inactive lanes start as "found": they never pop work.
             fd_ref[:] = (act <= 0.0).astype(jnp.int32)
             ev_ref[:] = _slab_entries_rows(bbT_ref[:, :], od, t_cap=t_hi)
+            if with_cost:
+                cc_ref[:] = jnp.zeros((BLOCK,), jnp.int32)
             kio2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, kpad), 1)
 
             def pending():
@@ -689,14 +727,20 @@ def _make_any_kernel_perray(stype, kpad, clip_on=False):
                 hit = jnp.any((ts > lo_col) & (ts < hi_col) & sel[:, None],
                               axis=1)
                 fd_ref[:] = fd_ref[:] | hit.astype(jnp.int32)
+                if with_cost:
+                    cc_ref[:] = cc_ref[:] + sel.astype(jnp.int32)
                 return pending()
 
             jax.lax.while_loop(lambda go: go, body, pending())
             found_out[:] = jnp.where(act > 0.0, fd_ref[:], 0)
+            if with_cost:
+                cost_out[:] = cc_ref[:] * 128
 
         @pl.when(~gate)
         def _miss():
             found_out[:] = jnp.zeros((BLOCK,), jnp.int32)
+            if with_cost:
+                cost_out[:] = jnp.zeros((BLOCK,), jnp.int32)
 
     return kernel
 
@@ -748,7 +792,7 @@ def perray_supported(scene) -> bool:
 
 
 def _grid_call_perray(kernel, is_closest, n_pad, k, nr, outs, od, ws, bbT,
-                      cp, interpret):
+                      cp, interpret, with_cost=False):
     nb = n_pad // BLOCK
     kp = _kpad(k)
     if is_closest:
@@ -757,6 +801,8 @@ def _grid_call_perray(kernel, is_closest, n_pad, k, nr, outs, od, ws, bbT,
     else:
         scratch = [pltpu.VMEM((BLOCK,), jnp.int32)]
     scratch.append(pltpu.VMEM((BLOCK, kp), jnp.float32))   # per-ray entries
+    if with_cost:
+        scratch.append(pltpu.VMEM((BLOCK,), jnp.int32))    # per-ray pops
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -946,45 +992,52 @@ def _use_perray(scene, perray):
 
 
 def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
-                  interpret=False, perray=None):
+                  interpret=False, perray=None, with_cost=False):
     """Closest hit. Returns (closest [N] f32 with BIG for miss, best_row
     [N] i32 with -1 for miss) matching ops/wavefront._dense_trace's
-    accumulator outputs."""
+    accumulator outputs. with_cost appends a [N] i32 primitives-tested
+    counter (block kernels: 128 x clusters swept by the ray's block;
+    per-ray kernels: 128 x the ray's own pops)."""
     n = o3[0].shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
+    outs = (jnp.float32, jnp.int32) + ((jnp.int32,) if with_cost else ())
+    soa, bbT, bgT, mid, ct = _scene_operands(scene)
+    cp, clip_on = _scalar_operand(clip, mid, scene)
+    od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
+                       jnp.full((n,), BIG), mid, n_pad, active=active)
     if _use_perray(scene, perray):
-        soa, bbT, bgT, mid, ct = _scene_operands(scene)
-        cp, clip_on = _scalar_operand(clip, mid, scene)
-        od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
-                           jnp.full((n,), BIG), mid, n_pad, active=active)
         w1, w2, w3, nr = _gather_operands(scene, mid)
-        t, row = _grid_call_perray(
+        out = _grid_call_perray(
             _make_closest_kernel_perray(_single_type(scene),
-                                        _kpad(scene.num_clusters), clip_on),
-            True, n_pad, scene.num_clusters, nr, (jnp.float32, jnp.int32),
-            od, (w1, w2, w3), bbT, cp, interpret)
+                                        _kpad(scene.num_clusters), clip_on,
+                                        with_cost=with_cost),
+            True, n_pad, scene.num_clusters, nr, outs,
+            od, (w1, w2, w3), bbT, cp, interpret, with_cost=with_cost)
     else:
-        soa, bbT, bgT, mid, ct = _scene_operands(scene)
-        cp, clip_on = _scalar_operand(clip, mid, scene)
-        od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
-                           jnp.full((n,), BIG), mid, n_pad, active=active)
-        t, row = _grid_call(
+        out = _grid_call(
             _make_closest_kernel(_types(scene), _kpad(scene.num_clusters),
-                                 clip_on),
-            True, n_pad, scene.num_clusters, (jnp.float32, jnp.int32),
+                                 clip_on, with_cost=with_cost),
+            True, n_pad, scene.num_clusters, outs,
             od, soa, bbT, bgT, cp, ct, interpret)
+    t, row = out[0], out[1]
     closest = t[:n]
     best_row = row[:n]
     if active is not None:
         closest = jnp.where(active, closest, BIG)
         best_row = jnp.where(active, best_row, -1)
+    if with_cost:
+        cost = out[2][:n]
+        if active is not None:
+            cost = jnp.where(active, cost, 0)
+        return closest, best_row, cost
     return closest, best_row
 
 
 def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
-              active=None, interpret=False, perray=None):
+              active=None, interpret=False, perray=None, with_cost=False):
     """Any hit with t in (accept_min, t_max) — the shadow-ray predicate of
-    ops/wavefront._dense_trace."""
+    ops/wavefront._dense_trace. with_cost appends a [N] i32
+    primitives-tested counter (see trace_closest)."""
     n = o3[0].shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
     if accept_min is None:
@@ -992,23 +1045,30 @@ def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
     else:
         lo = jnp.broadcast_to(jnp.asarray(accept_min, jnp.float32), (n,))
     hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    outs = (jnp.int32,) + ((jnp.int32,) if with_cost else ())
     soa, bbT, bgT, mid, ct = _scene_operands(scene)
     cp, clip_on = _scalar_operand(clip, mid, scene)
     od = _ray_operands(o3, d3, t_min, lo, hi, mid, n_pad, active=active)
     if _use_perray(scene, perray):
         w1, w2, w3, nr = _gather_operands(scene, mid)
-        (found,) = _grid_call_perray(
+        out = _grid_call_perray(
             _make_any_kernel_perray(_single_type(scene),
-                                    _kpad(scene.num_clusters), clip_on),
-            False, n_pad, scene.num_clusters, nr, (jnp.int32,),
-            od, (w1, w2, w3), bbT, cp, interpret)
+                                    _kpad(scene.num_clusters), clip_on,
+                                    with_cost=with_cost),
+            False, n_pad, scene.num_clusters, nr, outs,
+            od, (w1, w2, w3), bbT, cp, interpret, with_cost=with_cost)
     else:
-        (found,) = _grid_call(
+        out = _grid_call(
             _make_any_kernel(_types(scene), _kpad(scene.num_clusters),
-                             clip_on),
-            False, n_pad, scene.num_clusters, (jnp.int32,),
+                             clip_on, with_cost=with_cost),
+            False, n_pad, scene.num_clusters, outs,
             od, soa, bbT, bgT, cp, ct, interpret)
-    found = found[:n] != 0
+    found = out[0][:n] != 0
     if active is not None:
         found = found & active
+    if with_cost:
+        cost = out[1][:n]
+        if active is not None:
+            cost = jnp.where(active, cost, 0)
+        return found, cost
     return found
