@@ -127,9 +127,13 @@ def main() -> None:
 
         @jax.jit
         def fused(eps):
-            o3e = (o3k[0] + eps, o3k[1], o3k[2])
-
-            def step(c, _):
+            # The per-step origin must DEPEND on the scan index: with
+            # loop-invariant inputs XLA hoists the trace out of the scan
+            # and the tool measures (dispatch floor + ONE trace)/traces —
+            # this produced wrong absolute numbers once (0.1*k*eps keeps
+            # the perturbation ~1e-7, far below any decision boundary).
+            def step(c, k):
+                o3e = (o3k[0] + eps * (1.0 + 0.1 * k), o3k[1], o3k[2])
                 if kind == "closest":
                     ct, cr = PS.trace_closest(scene, o3e, d3k, tmin,
                                               active=act, perray=perray)
@@ -139,7 +143,7 @@ def main() -> None:
                 return c + jnp.sum(f.astype(jnp.float32)), None
 
             out, _ = jax.lax.scan(step, jnp.float32(0.0),
-                                  jnp.arange(args.traces))
+                                  jnp.arange(args.traces, dtype=jnp.float32))
             return out
 
         def run(rep):

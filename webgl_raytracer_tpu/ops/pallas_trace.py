@@ -371,8 +371,6 @@ def _make_closest_kernel(types, kpad, clip_on=False, with_cost=False):
         else:
             bt_ref, bk_ref, ev_ref = rest
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
-        cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
-            od_ref[8, :][:, None],)
         num_k = num_k_ref[0]
         clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
                 if clip_on else None)
@@ -381,6 +379,13 @@ def _make_closest_kernel(types, kpad, clip_on=False, with_cost=False):
 
         @pl.when(gate)
         def _run():
+            # cols must be built INSIDE the gate: each [BLOCK] -> [B, 1]
+            # column is a sublane-scatter relayout (~128 mostly-empty
+            # VREGs), and seven of them emitted unconditionally cost
+            # ~4 us per DEAD block — 8 ms of a 1080p all-miss trace's
+            # 12 ms (measured by kernel ablation, round 3).
+            cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
+                od_ref[8, :][:, None],)
             # Inactive lanes start at -BIG so the front-to-back bound is
             # the farthest ACTIVE lane's closest hit — otherwise one masked
             # lane (secondary/shadow traces are heavily masked) pins the
@@ -448,11 +453,7 @@ def _make_any_kernel(types, kpad, clip_on=False, with_cost=False):
         else:
             found_ref, ev_ref = rest
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
-        cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
-            od_ref[8, :][:, None],)
         t_hi = od_ref[6, :]
-        lo_col = od_ref[9, :][:, None]
-        hi_col = od_ref[6, :][:, None]
         num_k = num_k_ref[0]
         clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
                 if clip_on else None)
@@ -461,6 +462,13 @@ def _make_any_kernel(types, kpad, clip_on=False, with_cost=False):
 
         @pl.when(gate)
         def _run():
+            # Column relayouts only when the block traverses (see the
+            # closest kernel: unconditional [:, None] columns cost ~4 us
+            # per dead block).
+            cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
+                od_ref[8, :][:, None],)
+            lo_col = od_ref[9, :][:, None]
+            hi_col = od_ref[6, :][:, None]
             # Inactive lanes start as "found" so the every-ray-shadowed
             # early exit counts only ACTIVE lanes — shadow batches are
             # candidate-masked, and without this the exit never fired.
@@ -613,8 +621,6 @@ def _make_closest_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
         else:
             bt_ref, bk_ref, ev_ref = rest
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
-        cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
-            od_ref[8, :][:, None],)
         clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
                 if clip_on else None)
         act = od[6]
@@ -622,6 +628,10 @@ def _make_closest_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
 
         @pl.when(gate)
         def _run():
+            # Column relayouts gated (dead blocks must not pay them —
+            # see _make_closest_kernel).
+            cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
+                od_ref[8, :][:, None],)
             bt_ref[:] = jnp.broadcast_to(
                 jnp.where(act[:, None] > 0.0, BIG, -BIG), (BLOCK, 128))
             bk_ref[:] = jnp.zeros((BLOCK, 128), jnp.int32)
@@ -691,11 +701,7 @@ def _make_any_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
         else:
             fd_ref, ev_ref = rest
         od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
-        cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
-            od_ref[8, :][:, None],)
         t_hi = od_ref[6, :]
-        lo_col = od_ref[9, :][:, None]
-        hi_col = t_hi[:, None]
         clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
                 if clip_on else None)
         act = od[6]
@@ -703,6 +709,12 @@ def _make_any_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
 
         @pl.when(gate)
         def _run():
+            # Column relayouts gated (dead blocks must not pay them —
+            # see _make_closest_kernel).
+            cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
+                od_ref[8, :][:, None],)
+            lo_col = od_ref[9, :][:, None]
+            hi_col = t_hi[:, None]
             # Inactive lanes start as "found": they never pop work.
             fd_ref[:] = (act <= 0.0).astype(jnp.int32)
             ev_ref[:] = _slab_entries_rows(bbT_ref[:, :], od, t_cap=t_hi)
@@ -905,9 +917,51 @@ def _ray_operands(o3, d3, t_min, accept_lo, t_hi, mid, n_pad, active=None):
     return od
 
 
+# Ray blocks handled per grid STEP (experiment knob). Looping M blocks
+# inside one grid step via sliced refs amortizes per-step machinery, but
+# measured NEUTRAL on TPU v5e once the dead-block floor was fixed (the
+# 12 ms all-miss floor was unconditional [:, None] column relayouts, not
+# grid-step overhead; with those gated, M=8 vs M=1 both measure ~116 ms
+# full frame / ~1.5 ms all-miss floor). Default 1; the machinery stays
+# for block-size experiments on other workloads.
+TRACE_MULTI = int(os.environ.get("WRT_TRACE_MULTI", "1"))
+
+
+def _round_pad(n: int) -> int:
+    """Ray padding for _grid_call: a multiple of BLOCK x TRACE_MULTI (pad
+    lanes carry act=0, so padded sub-blocks are root-gated dead)."""
+    g = BLOCK * TRACE_MULTI
+    return -(-n // g) * g
+
+
+def _multiblock(kernel, m, n_outs):
+    """Wrap a one-block kernel body to process m consecutive ray blocks
+    per grid step via sliced refs (program emitted once, fori over
+    sub-blocks). Scratch refs are shared — each sub-block fully
+    re-initializes them before use."""
+    if m == 1:
+        return kernel
+
+    def wrapped(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
+                ct_ref, *rest):
+        outs, scratch = rest[:n_outs], rest[n_outs:]
+
+        def body(j, _):
+            od_j = od_ref.at[:, pl.ds(j * BLOCK, BLOCK)]
+            outs_j = tuple(o.at[pl.ds(j * BLOCK, BLOCK)] for o in outs)
+            kernel(num_k_ref, od_j, soa_ref, bbT_ref, bgT_ref, cp_ref,
+                   ct_ref, *outs_j, *scratch)
+            return 0
+
+        jax.lax.fori_loop(0, m, body, 0)
+
+    return wrapped
+
+
 def _grid_call(kernel, is_closest, n_pad, k, outs, od, soa, bbT, bgT,
                cp, ct, interpret):
     nb = n_pad // BLOCK
+    m = TRACE_MULTI if nb % TRACE_MULTI == 0 else 1
     kp = _kpad(k)
     if is_closest:
         scratch = [pltpu.VMEM((BLOCK, 128), jnp.float32),
@@ -917,21 +971,21 @@ def _grid_call(kernel, is_closest, n_pad, k, outs, od, soa, bbT, bgT,
     scratch.append(pltpu.VMEM((1, kp), jnp.float32))   # entries
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nb // m,),
         in_specs=[
-            pl.BlockSpec((16, BLOCK), lambda i, s: (0, i)),
+            pl.BlockSpec((16, m * BLOCK), lambda i, s: (0, i)),
             pl.BlockSpec((k * ROWS, 128), lambda i, s: (0, 0)),
             pl.BlockSpec((8, kp), lambda i, s: (0, 0)),
             pl.BlockSpec((8, 128), lambda i, s: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
+        out_specs=[pl.BlockSpec((m * BLOCK,), lambda i, s: (i,))
                    for _ in outs],
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        kernel,
+        _multiblock(kernel, m, len(outs)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), dt) for dt in outs],
         compiler_params=pltpu.CompilerParams(
@@ -999,7 +1053,7 @@ def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
     counter (block kernels: 128 x clusters swept by the ray's block;
     per-ray kernels: 128 x the ray's own pops)."""
     n = o3[0].shape[0]
-    n_pad = -(-n // BLOCK) * BLOCK
+    n_pad = _round_pad(n)
     outs = (jnp.float32, jnp.int32) + ((jnp.int32,) if with_cost else ())
     soa, bbT, bgT, mid, ct = _scene_operands(scene)
     cp, clip_on = _scalar_operand(clip, mid, scene)
@@ -1039,7 +1093,7 @@ def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
     ops/wavefront._dense_trace. with_cost appends a [N] i32
     primitives-tested counter (see trace_closest)."""
     n = o3[0].shape[0]
-    n_pad = -(-n // BLOCK) * BLOCK
+    n_pad = _round_pad(n)
     if accept_min is None:
         lo = jnp.zeros((n,), jnp.float32)
     else:

@@ -762,6 +762,17 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         # packed to the front (tools/profile_frame.py A/Bs this).
         g = 0
         gather = lambda a: a
+    elif os.environ.get("WRT_PERM_MODE") == "lane":
+        # PER-LANE hit-first compaction (experiment knob, NOT the
+        # default): it would pack hit lanes densely and maximize all-dead
+        # chunk skips, but the per-lane random-access gather of the
+        # 9-array transport state costs ~173 ms/frame at 1080p on TPU
+        # v5e (tools/profile_stages.py permute_lane_gather, measured
+        # round 3) — the TPU has no fast per-lane gather, so the
+        # 256-lane-block permutation below stays the production path.
+        g = 1
+        perm, inv = _hit_first_permutation(rec0.prim_type >= 0)
+        gather = lambda a: a[perm]
     else:
         g = _PERM_BLOCK if (n % _PERM_BLOCK == 0 and size % _PERM_BLOCK == 0) else 1
         if g > 1:
