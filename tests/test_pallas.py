@@ -230,3 +230,105 @@ def test_masked_traces_match_dense(sphere_scene, rays):
     fp = np.asarray(fp)
     assert not fp[~act].any()
     assert (np.asarray(fd)[act] == fp[act]).mean() > 0.999
+
+
+def test_closest_attrs_matches_finalize(sphere_scene, rays):
+    """The attrs kernel's one-hot extraction must agree with the gather
+    path bit-for-bit: same winner t/slot, and attr rows equal to the
+    gathered table rows."""
+    o3, d3, tmin = rays
+    ct, cr = PS.trace_closest(sphere_scene, o3, d3, tmin, interpret=True)
+    t_a, attrs = PS.trace_closest_attrs(sphere_scene, o3, d3, tmin,
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(ct), np.asarray(t_a))
+    hit = np.asarray(cr) >= 0
+    slot_a = np.asarray(attrs[:, 28]).astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(cr)[hit], slot_a[hit])
+    # Attr rows == the gathered rows of the same winners, exactly.
+    flat = np.asarray(sphere_scene.cluster_prims).reshape(-1, 12)
+    np.testing.assert_array_equal(np.asarray(attrs[:, :12])[hit],
+                                  flat[np.asarray(cr)[hit]])
+    color = np.asarray(sphere_scene.cluster_color)
+    np.testing.assert_array_equal(np.asarray(attrs[:, 12:15])[hit],
+                                  color[np.asarray(cr)[hit]])
+    # Misses carry ptype -1.
+    assert (np.asarray(attrs[:, 11])[~hit] < 0).all()
+
+
+def test_closest_attrs_record_equivalence(sphere_scene, rays):
+    """wf_trace_closest_v3(with_attrs=True) must produce a record
+    identical to the default full-record path."""
+    o3, d3, tmin = rays
+    import webgl_raytracer_tpu.ops.wavefront as WF
+
+    rec_pair = WF.wf_trace_closest_v3(sphere_scene, o3, d3, tmin,
+                                      use_pallas=False, with_attrs=True)
+    rec_a, attrs = rec_pair
+    rec = WF.wf_trace_closest_v3(sphere_scene, o3, d3, tmin,
+                                 use_pallas=False)
+    for f in ("t", "prim_type", "prim_local", "prim_slot"):
+        np.testing.assert_array_equal(np.asarray(getattr(rec_a, f)),
+                                      np.asarray(getattr(rec, f)))
+    hit = np.asarray(rec.prim_slot) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(attrs[:, 28]).astype(np.int64)[hit],
+        np.asarray(rec.prim_slot)[hit])
+
+
+def test_closest_attrs_masked_and_clip(sphere_scene, rays):
+    o3, d3, tmin = rays
+    n = o3[0].shape[0]
+    act = jnp.asarray((np.arange(n) % 3) != 0)
+    clip = (np.array([0.0, 0.0, 1.0], np.float32), np.float32(1.0),
+            np.float32(1.0))
+    ct, cr = PS.trace_closest(sphere_scene, o3, d3, tmin, clip=clip,
+                              active=act, interpret=True)
+    t_a, attrs = PS.trace_closest_attrs(sphere_scene, o3, d3, tmin,
+                                        clip=clip, active=act,
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(ct), np.asarray(t_a))
+    hit = np.asarray(cr) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(attrs[:, 28]).astype(np.int64)[hit],
+        np.asarray(cr)[hit])
+    assert (np.asarray(attrs[:, 11])[~hit] < 0).all()
+
+
+def test_frame_attrs_vs_gather_bit_identical(sphere_scene):
+    """Full-frame invariant for the attrs path: a kernel-interpret frame
+    shaded from in-kernel attribute rows must equal the same frame shaded
+    through the gather path BIT-FOR-BIT (same RNG, same transport; only
+    the attribute delivery differs). Fresh local jits per variant — env
+    knobs are read at trace time and a shared jit cache would alias them
+    (the round-2 WRT_NO_PERM lesson)."""
+    import os
+
+    import jax
+
+    from webgl_raytracer_tpu.render import Renderer
+    from webgl_raytracer_tpu.render.config import split_settings
+    from webgl_raytracer_tpu.render.integrator import render_batch_v3
+    from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
+
+    r = Renderer(sphere_scene, width=64, height=64)
+    basis = r.camera.basis()
+    flags, u = split_settings(
+        r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
+        has_env=False, has_volume=False, clip=None)
+    px, py = r._pixel_grids()
+
+    def frame(knobs):
+        os.environ.update(knobs)
+        try:
+            fn = jax.jit(lambda uu: render_batch_v3(
+                r.scene, None, None, flags, uu, px, py, jnp.uint32(0)))
+            return np.stack([np.asarray(c) for c in fn(u)], axis=-1)
+        finally:
+            for k in knobs:
+                del os.environ[k]
+
+    img_attrs = frame({"WRT_PALLAS_INTERPRET": "1", "WRT_ATTRS": "1"})
+    img_gather = frame({"WRT_PALLAS_INTERPRET": "1"})
+    assert np.isfinite(img_attrs).all()
+    assert img_attrs.max() > 0.0
+    np.testing.assert_array_equal(img_attrs, img_gather)

@@ -1,15 +1,21 @@
 #!/usr/bin/env python3
 """A/B the two transport formulations on the real chip.
 
-Times ONE progressive sample (spp=1) at the given resolution through:
+Times fused multi-sample blocks (a lax.scan over the frame index, so
+every defense from STATUS.md "Measured perf truths" applies: the
+25-270 ms per-dispatch tunnel floor is amortized 1/T, the varying frame
+index defeats both input-identity caching and XLA loop-invariant
+hoisting, and the two variants interleave reps round-robin so slice
+drift cancels):
+
   mega  — the Pallas path megakernel (ops/pallas_path.render_sample)
   xla   — the multi-launch XLA integrator with hit-first compaction
           (render/integrator._sample_radiance under WRT_NO_MEGAKERNEL)
 
 Both consume the same RNG stream, so this is a pure formulation race.
 
-  python tools/bench_paths.py --scene spheres1000
-  python tools/bench_paths.py --scene spheres10000 --skip-mega
+  python tools/bench_paths.py --scene spheres1000 [--out F.json]
+  python tools/bench_paths.py --molecule caffeine --skip-mega
 """
 
 from __future__ import annotations
@@ -23,39 +29,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def best_ms(fn, *args, reps=6):
-    # Best-of-reps wall time. Each rep perturbs the first argument by an
-    # epsilon: the tunnel backend can serve bit-identical (executable,
-    # inputs) pairs from cache, which makes same-input timing loops report
-    # pure dispatch latency (measured: a 50 ms kernel "ran" in 0.03 ms).
-    # np.asarray forces a real D2H sync.
-    import jax
-    import numpy as np
-
-    def _go(i):
-        head = jax.tree_util.tree_map(
-            lambda x: x + np.float32(i) * np.float32(1e-12)
-            if hasattr(x, "dtype") and x.dtype == np.float32 else x, args[0])
-        out = fn(head, *args[1:])
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-
-    _go(0)
-    best = float("inf")
-    for i in range(1, reps + 1):
-        t0 = time.perf_counter()
-        _go(i)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1000.0
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="spheres1000")
     ap.add_argument("--molecule")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--samples", type=int, default=10,
+                    help="samples per fused dispatch")
+    ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--skip-mega", action="store_true")
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--out")
     args = ap.parse_args()
 
     from webgl_raytracer_tpu.utils import enable_compilation_cache
@@ -88,32 +73,61 @@ def main() -> int:
     out = {"scene": args.molecule or args.scene,
            "resolution": f"{args.width}x{args.height}",
            "rays": int(px.shape[0]), "max_bounces": flags.max_bounces,
-           "num_clusters": int(r.scene.num_clusters)}
+           "num_clusters": int(r.scene.num_clusters),
+           "samples_per_dispatch": args.samples}
 
+    def make_runner(sample_fn):
+        @jax.jit
+        def fused(start):
+            def step(acc, k):
+                c = sample_fn((start + k).astype(jnp.uint32))
+                return acc + c[0].sum() + c[1].sum() + c[2].sum(), None
+
+            o, _ = jax.lax.scan(step, jnp.float32(0.0),
+                                jnp.arange(args.samples, dtype=jnp.int32))
+            return o
+
+        def run(i):
+            return float(fused(jnp.int32(i * args.samples)))
+
+        t0 = time.perf_counter()
+        run(0)
+        return run, round(time.perf_counter() - t0, 1)
+
+    runners = {}
     if not args.skip_mega:
         from webgl_raytracer_tpu.ops import pallas_path as PP
 
         if PP.supports(r.scene, flags, None, None):
-            fn = jax.jit(lambda u, px, py: PP.render_sample(
-                r.scene, flags, u, px, py, jnp.uint32(0), 0)[0])
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(u, px, py)[0])
-            out["mega_compile_s"] = round(time.perf_counter() - t0, 1)
-            out["mega_ms"] = round(best_ms(fn, u, px, py), 1)
+            runners["mega"], out["mega_compile_s"] = make_runner(
+                lambda fi: PP.render_sample(r.scene, flags, u, px, py,
+                                            fi, 0)[0])
         else:
             out["mega_ms"] = None
-
     if not args.skip_xla:
         os.environ["WRT_NO_MEGAKERNEL"] = "1"
-        fx = jax.jit(lambda u, px, py: _sample_radiance(
-            r.scene, None, None, flags, u, px, py, jnp.uint32(0), 0)[0])
-        t0 = time.perf_counter()
-        jax.block_until_ready(fx(u, px, py)[0])
-        del os.environ["WRT_NO_MEGAKERNEL"]
-        out["xla_compile_s"] = round(time.perf_counter() - t0, 1)
-        out["xla_ms"] = round(best_ms(fx, u, px, py), 1)
+        try:
+            runners["xla"], out["xla_compile_s"] = make_runner(
+                lambda fi: _sample_radiance(
+                    r.scene, None, None, flags, u, px, py, fi, 0)[0])
+        finally:
+            del os.environ["WRT_NO_MEGAKERNEL"]
+
+    best = {k: float("inf") for k in runners}
+    for i in range(1, args.reps + 1):
+        for k, run in runners.items():
+            t0 = time.perf_counter()
+            run(i)
+            best[k] = min(best[k], time.perf_counter() - t0)
+    for k, v in best.items():
+        out[f"{k}_ms"] = round(v * 1000.0 / args.samples, 1)
+    if "mega" in best and "xla" in best:
+        out["mega_vs_xla"] = round(out["xla_ms"] / out["mega_ms"], 3)
 
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
     return 0
 
 

@@ -445,6 +445,168 @@ def _make_closest_kernel(types, kpad, clip_on=False, with_cost=False):
     return kernel
 
 
+def _make_closest_attrs_kernel(types, kpad, clip_on=False):
+    """Closest hit + per-ray winner ATTRIBUTES in one launch.
+
+    Identical traversal to _make_closest_kernel, but each sweep reduces
+    the block's candidates to a per-ray winner and extracts the winning
+    primitive's 32-column attribute row (12 SoA values ++ color ++ tri
+    vertex normals ++ flag ++ flat slot, see _attr_operand) via a one-hot
+    [BLOCK, 128] x [128, 32] MXU matmul — the same machinery the path
+    megakernel uses (ops/pallas_path._trace_closest_attrs). The XLA
+    alternative is a per-lane [B, 12] row gather after the trace
+    (wavefront._finalize_hit), which is the TPU's slow path: ~26 ms per
+    1080p frame of random-access gathers that this kernel replaces with
+    ~0.5 us per cluster visit of dense matrix work."""
+
+    def kernel(num_k_ref, od_ref, soa_ref, at_tab_ref, bbT_ref, bgT_ref,
+               cp_ref, ct_ref, t_out, attr_out, bt_ref, at_ref, ev_ref):
+        od = [od_ref[i, :] for i in range(6)] + [od_ref[7, :]]
+        num_k = num_k_ref[0]
+        clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
+                if clip_on else None)
+        act = od[6]
+        gate = _root_gate(cp_ref, od)
+        bt_ref[:] = jnp.where(act > 0.0, BIG, -BIG)[:, None]
+        # Miss/padding lanes must read ptype < 0: bake -1 into column 11.
+        at_ref[:] = -(jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK, 32), 1) == 11).astype(jnp.float32)
+
+        @pl.when(gate)
+        def _run():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1)
+            cols = tuple(od_ref[i, :][:, None] for i in range(6)) + (
+                od_ref[8, :][:, None],)
+            kio = _block_entries(num_k, kpad, bbT_ref, bgT_ref, od, ev_ref)
+            ev0 = ev_ref[:]
+
+            def cond(carry):
+                return carry[1] < BIG
+
+            def body(carry):
+                ev, _, k = carry
+
+                def apply(ts):
+                    tsv = jnp.where(ts > 0.0, ts, BIG)
+                    best = bt_ref[:, 0]
+                    m = jnp.min(tsv, axis=1)
+                    improved = m < best
+                    packed = jnp.where(tsv == m[:, None], lane,
+                                       jnp.int32(2 ** 30))
+                    wl = jnp.min(packed, axis=1)
+                    onehot = ((lane == wl[:, None])
+                              & improved[:, None]).astype(jnp.float32)
+                    table = at_tab_ref[pl.ds(k * 128, 128), :]     # [C, 32]
+                    # HIGHEST precision: the MXU's default bf16 passes
+                    # truncate the table values (measured: TPU frames
+                    # differed from the gather path at default precision);
+                    # with the 3-way decomposition a one-hot selection is
+                    # exact (hi+mid+lo times an exact 1.0, f32 accumulate).
+                    new_attrs = jax.lax.dot_general(
+                        onehot, table, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    at_ref[:] = jnp.where(improved[:, None], new_attrs,
+                                          at_ref[:])
+                    bt_ref[:] = jnp.where(improved, m, best)[:, None]
+
+                _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply)
+                ev = jnp.where(kio == k, INF, ev)
+                e_next, k_next = _pop_nearest(ev, kio)
+                bound = jnp.max(bt_ref[:, 0])
+                e_next = jnp.where(e_next < bound, e_next, INF)
+                return ev, e_next, k_next
+
+            e0, k0 = _pop_nearest(ev0, kio)
+            jax.lax.while_loop(cond, body, (ev0, e0, k0))
+
+        t_out[:] = jnp.where(act > 0.0, bt_ref[:, 0], BIG)
+        attr_out[:] = at_ref[:]
+
+    return kernel
+
+
+def _attr_operand(scene):
+    """Prim-major one-hot attribute table [K*C, 32] for the attrs kernel:
+    cols 0-11 the traversal row (cluster_prims, GLOBAL coordinates),
+    12-27 the shading attrs (color rgb, tri vertex normals, flag — see
+    pallas_path.build_attr_soa), 28 the flat prim slot as f32 (exact to
+    2^24; MAX_CLUSTERS*128 = 524k), 29-31 pad."""
+    k = scene.num_clusters
+    c = scene.cluster_size
+    slot = jnp.arange(k * c, dtype=jnp.float32).reshape(k, c, 1)
+    return jnp.concatenate(
+        [jnp.asarray(scene.cluster_prims, jnp.float32),
+         jnp.asarray(scene.cluster_attr, jnp.float32),
+         slot,
+         jnp.zeros((k, c, 3), jnp.float32)], axis=2).reshape(k * c, 32)
+
+
+def _grid_call_attrs(kernel, n_pad, k, od, soa, at_tab, bbT, bgT, cp, ct,
+                     interpret):
+    nb = n_pad // BLOCK
+    kp = _kpad(k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((16, BLOCK), lambda i, s: (0, i)),
+            pl.BlockSpec((k * ROWS, 128), lambda i, s: (0, 0)),
+            pl.BlockSpec((k * 128, 32), lambda i, s: (0, 0)),
+            pl.BlockSpec((8, kp), lambda i, s: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,)),
+                   pl.BlockSpec((BLOCK, 32), lambda i, s: (i, 0))],
+        scratch_shapes=[pltpu.VMEM((BLOCK, 1), jnp.float32),
+                        pltpu.VMEM((BLOCK, 32), jnp.float32),
+                        pltpu.VMEM((1, kp), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 32), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.array([k], jnp.int32), od, soa, at_tab, bbT, bgT, cp, ct)
+
+
+def supports_attrs(scene) -> bool:
+    """The attrs kernel needs the compiled shading-attribute SoA."""
+    return getattr(scene, "cluster_attr", None) is not None
+
+
+def trace_closest_attrs(scene, o3, d3, t_min, clip=None, active=None,
+                        interpret=False):
+    """Closest hit + winner attributes: (t [N] f32 BIG-miss, attrs
+    [N, 32] — see _attr_operand; attrs[:, 11] < 0 marks a miss). The t is
+    the kernel's scene-centered rounding, like trace_closest; callers
+    refine sphere winners in global coordinates (wavefront._finalize_hit
+    with row=attrs does it without any gather)."""
+    n = o3[0].shape[0]
+    n_pad = _round_pad(n)
+    soa, bbT, bgT, mid, ct = _scene_operands(scene)
+    cp, clip_on = _scalar_operand(clip, mid, scene)
+    od = _ray_operands(o3, d3, t_min, jnp.zeros((n,), jnp.float32),
+                       jnp.full((n,), BIG), mid, n_pad, active=active)
+    t, attrs = _grid_call_attrs(
+        _make_closest_attrs_kernel(_types(scene), _kpad(scene.num_clusters),
+                                   clip_on),
+        n_pad, scene.num_clusters, od, soa, _attr_operand(scene), bbT, bgT,
+        cp, ct, interpret)
+    t = t[:n]
+    attrs = attrs[:n]
+    if active is not None:
+        t = jnp.where(active, t, BIG)
+        attrs = jnp.where(active[:, None], attrs, jnp.float32(0.0))
+        attrs = attrs.at[:, 11].set(jnp.where(active, attrs[:, 11], -1.0))
+    return t, attrs
+
+
 def _make_any_kernel(types, kpad, clip_on=False, with_cost=False):
     def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
                ct_ref, found_out, *rest):

@@ -653,7 +653,7 @@ def _dense_trace(scene, o3, d3, t_min, clip, any_hit, accept_min,
 
 
 def _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row, cost,
-                  refine_sphere_t=False):
+                  refine_sphere_t=False, row=None):
     """Recover hit attributes for the winning primitive per ray: one [B,12]
     row gather + component-form ([B]-shaped) re-derivation of barycentrics /
     cylinder cap type — keeps the hot loop free of [B,C,*] attribute
@@ -664,9 +664,14 @@ def _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row, cost,
     centered rounding so hit positions match the XLA path to f32 ulps.
     Done here to reuse this function's row gather — per-ray gathers are
     the TPU slow path, and a second [B,12] gather measured ~26 ms/frame
-    at 1080p."""
-    flat = scene.cluster_prims.reshape(-1, 12)
-    row = flat[jnp.maximum(best_row, 0)]
+    at 1080p.
+
+    row: optional precomputed [B, 12] winner rows (the attrs kernel's
+    one-hot MXU extraction, pallas_trace.trace_closest_attrs) — skips the
+    gather entirely; values are bit-identical to the gathered rows."""
+    if row is None:
+        flat = scene.cluster_prims.reshape(-1, 12)
+        row = flat[jnp.maximum(best_row, 0)]
     ox, oy, oz = o3
     dx, dy, dz = d3
     ptype = row[:, 11].astype(jnp.int32)
@@ -741,6 +746,36 @@ def _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row, cost,
         extra=extra,
         cost=cost,
     )
+
+
+def gather_attr_rows(scene, rec):
+    """[B, 32] winner attribute rows in pallas_trace._attr_operand's
+    layout, built by gather from a finalized HitRecord — the functional
+    fallback for with_attrs on non-kernel paths (CPU tests, distributed
+    frames, big scenes). Values match the kernel's one-hot extraction
+    bit-for-bit (same source tables)."""
+    n = rec.t.shape[0]
+    slot = jnp.maximum(rec.prim_slot, 0)
+    local = jnp.maximum(rec.prim_local, 0)
+    hit = rec.prim_slot >= 0
+    row = scene.cluster_prims.reshape(-1, 12)[slot]
+    color = scene.cluster_color[slot]                       # [B, 3]
+    parts = [row, color]
+    if scene.tri_count:
+        tn = scene.tri_normals[local].reshape(n, 9)         # [B, 9]
+        is_tri = (rec.prim_type == PRIM_TRIANGLE)[:, None]
+        parts.append(jnp.where(is_tri, tn, 0.0))
+        tf = scene.tri_flags[local]
+        parts.append(jnp.where(is_tri[:, 0], tf, 0.0)[:, None])
+    else:
+        parts.append(jnp.zeros((n, 10), jnp.float32))
+    parts.append(jnp.zeros((n, 1), jnp.float32))            # col 25 pad
+    parts.append(jnp.zeros((n, 2), jnp.float32))            # cols 26-27
+    parts.append(slot.astype(jnp.float32)[:, None])         # col 28
+    parts.append(jnp.zeros((n, 3), jnp.float32))
+    out = jnp.concatenate(parts, axis=1)
+    out = jnp.where(hit[:, None], out, 0.0)
+    return out.at[:, 11].set(jnp.where(hit, out[:, 11], -1.0))
 
 
 def _wf_trace_flat(scene, o3, d3, t_min, clip, any_hit, accept_min,
@@ -831,7 +866,8 @@ def _pallas_auto(scene, clip, use_pallas):
 def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
                         max_iters: int = 4096, use_pallas: bool = True,
                         force_dense: bool = False,
-                        full_record: bool = True) -> HitRecord:
+                        full_record: bool = True,
+                        with_attrs: bool = False):
     """Closest hit via the cluster wavefront; rays as component triples.
     prim_slot indexes the padded cluster table ([K*C, 12]). force_dense
     sweeps every cluster with no worklist/kernel — the reference's
@@ -843,7 +879,15 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
     record per chunk anyway. The minimal record carries the kernel's
     UNREFINED t (scene-centered rounding), valid prim_slot, and
     prim_type as a 0/-1 hit flag; callers must finalize with
-    refine_sphere_t=True before shading."""
+    refine_sphere_t=True before shading.
+
+    with_attrs (Pallas branch only): returns (HitRecord, attrs [B, 32])
+    — the winner's attribute row extracted IN-KERNEL by one-hot MXU
+    matmuls (pallas_trace.trace_closest_attrs), so neither this call nor
+    any downstream shading needs a per-lane gather. The record is fully
+    finalized (refined t, barycentrics) from the carried rows; attrs
+    cols 12-14 are the primitive color, 15-23 the tri vertex normals,
+    24 the tri flag (see pallas_trace._attr_operand)."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
     n = o3[0].shape[0]
     k = scene.num_clusters
@@ -853,10 +897,20 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
     if _pallas_auto(scene, clip, use_pallas):
         from . import pallas_trace as PS
 
+        cost = jnp.full((n,), k * scene.cluster_size, jnp.int32)
+        if with_attrs and PS.supports_attrs(scene):
+            t, attrs = PS.trace_closest_attrs(
+                scene, o3, d3, t_min, clip=clip, active=active,
+                interpret=pallas_forced_interpret())
+            hit = attrs[:, 11] >= 0.0
+            slot = jnp.where(hit, attrs[:, 28].astype(jnp.int32), -1)
+            rec = _finalize_hit(scene, o3, d3, t_min, clip, t, slot,
+                                cost=cost, refine_sphere_t=True,
+                                row=attrs[:, :12])
+            return rec, attrs
         closest, best_row = PS.trace_closest(scene, o3, d3, t_min, clip=clip,
                                              active=active,
                                              interpret=pallas_forced_interpret())
-        cost = jnp.full((n,), k * scene.cluster_size, jnp.int32)
         if not full_record:
             hit = best_row >= 0
             return HitRecord(
@@ -869,6 +923,14 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
             )
         return _finalize_hit(scene, o3, d3, t_min, clip, closest, best_row,
                              cost=cost, refine_sphere_t=True)
+    if with_attrs:
+        # Non-kernel paths: finalize normally and synthesize the attr
+        # row by gather (functional parity for CPU tests / big scenes).
+        rec = wf_trace_closest_v3(scene, o3, d3, t_min, clip=clip,
+                                  active=active, max_iters=max_iters,
+                                  use_pallas=use_pallas,
+                                  force_dense=force_dense)
+        return rec, gather_attr_rows(scene, rec)
     if k <= DENSE_MAX_CLUSTERS or n % TILE != 0 or n < TILE:
         if k <= TILE_MAX_CLUSTERS:
             return _dense_trace(scene, o3, d3, t_min, clip,

@@ -52,15 +52,39 @@ def _clip_tuple(flags, u):
     return (u.clip_normal, u.clip_offset, u.clip_side)
 
 
+def _use_attrs(scene, flags) -> bool:
+    """Shade from in-kernel extracted attribute rows instead of post-trace
+    per-lane gathers (pallas_trace.trace_closest_attrs). EXPERIMENT KNOB,
+    off by default: measured on TPU v5e (1000-sphere 1080p, round 3) the
+    attrs frame runs 0.70x the gather frame — the per-sweep winner
+    reduction + one-hot MXU extraction in the traversal hot loop costs
+    more than the [B,12]/color/normal gathers it removes, and the [B,32]
+    attr rows add permutation traffic. Enable with WRT_ATTRS=1; results
+    are bit-identical either way (test_frame_attrs_vs_gather_bit_identical
+    + Precision.HIGHEST in the extraction matmul)."""
+    import os
+
+    from ..ops.pallas_trace import supports_attrs
+    from ..ops.wavefront import _pallas_auto
+
+    if os.environ.get("WRT_ATTRS") != "1":
+        return False
+    return (flags.tracer == "wavefront" and flags.use_bvh
+            and not flags.distributed and supports_attrs(scene)
+            and _pallas_auto(scene, None, True))
+
+
 def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None,
-                 full_record=True):
+                 full_record=True, with_attrs=False):
     """Tracer dispatch: the dense cluster wavefront (default, TPU-native) or
     the reference-shaped masked BVH stack walk. When an activity mask is
     given, the whole traversal is skipped via a scalar-predicate cond if no
     lane in this (chunked, screen-coherent) batch is live.
     full_record=False: the caller only needs (t, prim_slot) — skips the
     full-batch finalize gather on the Pallas branch (the compaction path
-    rebuilds records per chunk)."""
+    rebuilds records per chunk).
+    with_attrs=True: returns (record, attrs [B, 32]) with the winner's
+    attribute row (no per-lane gathers anywhere on the Pallas branch)."""
     def run(_):
         if flags.tracer == "wavefront":
             # Distributed renders keep the pure-XLA path: pallas_call does
@@ -70,7 +94,8 @@ def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None,
                                        active=active,
                                        use_pallas=not flags.distributed,
                                        force_dense=not flags.use_bvh,
-                                       full_record=full_record)
+                                       full_record=full_record,
+                                       with_attrs=with_attrs)
         return _traverse(
             scene, jnp.stack(o3, -1), jnp.stack(d3, -1), t_min, clip,
             any_hit=False, accept_min=None, t_max=None,
@@ -84,7 +109,7 @@ def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None,
 
     def skip(_):
         from ..ops.traversal import HitRecord
-        return HitRecord(
+        rec = HitRecord(
             t=jnp.full((n,), BIG),
             prim_type=jnp.full((n,), -1, jnp.int32),
             prim_local=jnp.full((n,), -1, jnp.int32),
@@ -92,6 +117,10 @@ def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None,
             extra=jnp.zeros((n, 3), jnp.float32),
             cost=jnp.zeros((n,), jnp.int32),
         )
+        if with_attrs:
+            attrs = jnp.zeros((n, 32), jnp.float32).at[:, 11].set(-1.0)
+            return rec, attrs
+        return rec
 
     return jax.lax.cond(jnp.any(active), run, skip, None)
 
@@ -118,10 +147,12 @@ def _any_hit(scene, flags, o3, d3, t_min, clip, accept_min=None,
         lambda _: jnp.zeros(o3[0].shape, bool), None)
 
 
-def _trace_or_skip(scene, flags, origin, direction, t_min, clip, active):
+def _trace_or_skip(scene, flags, origin, direction, t_min, clip, active,
+                   with_attrs=False):
     """Closest hit gated on `active` (used by the compaction path, where
     bounce 0 reuses a precomputed record and only later bounces trace)."""
-    return _closest_hit(scene, flags, origin, direction, t_min, clip, active=active)
+    return _closest_hit(scene, flags, origin, direction, t_min, clip,
+                        active=active, with_attrs=with_attrs)
 
 
 def _fetch_hit_rows(scene, flags, slot):
@@ -154,13 +185,24 @@ def _cylinder_normal_v3(pos, p1, p2, hit_type):
     return V.normalize(n)
 
 
-def _surface_attributes(scene, flags, rec, pos, direction, u):
+def _surface_attributes(scene, flags, rec, pos, direction, u, attrs=None):
     """Geometric/shading normals + base color at the hit
-    (webgl.js:1244-1272), by primitive type, in component form."""
+    (webgl.js:1244-1272), by primitive type, in component form.
+
+    attrs: optional [B, 32] winner attribute rows from the in-kernel
+    one-hot extraction (pallas_trace._attr_operand layout) — replaces
+    every per-lane gather here (hit row, color, tri vertex normals) with
+    bit-identical carried values."""
     slot = jnp.maximum(rec.prim_slot, 0)
     local = jnp.maximum(rec.prim_local, 0)
     ptype = rec.prim_type
-    pa, ra, pb, pc, imported_color = _fetch_hit_rows(scene, flags, slot)
+    if attrs is not None:
+        pa = (attrs[:, 0], attrs[:, 1], attrs[:, 2])
+        pb = (attrs[:, 4], attrs[:, 5], attrs[:, 6])
+        pc = (attrs[:, 8], attrs[:, 9], attrs[:, 10])
+        imported_color = (attrs[:, 12], attrs[:, 13], attrs[:, 14])
+    else:
+        pa, _, pb, pc, imported_color = _fetch_hit_rows(scene, flags, slot)
 
     zero = jnp.zeros_like(pos[0])
     n_raw = (zero, zero, zero)
@@ -177,14 +219,22 @@ def _surface_attributes(scene, flags, rec, pos, direction, u):
     if scene.tri_count:
         n_tri = V.normalize(V.cross(V.sub(pb, pa), V.sub(pc, pa)))
         n_raw = V.where(ptype == PRIM_TRIANGLE, n_tri, n_raw)
-        tn = scene.tri_normals[local]            # [B,3,3] gather
+        if attrs is not None:
+            tn0 = (attrs[:, 15], attrs[:, 16], attrs[:, 17])
+            tn1 = (attrs[:, 18], attrs[:, 19], attrs[:, 20])
+            tn2 = (attrs[:, 21], attrs[:, 22], attrs[:, 23])
+        else:
+            tn = scene.tri_normals[local]        # [B,3,3] gather
+            tn0 = (tn[:, 0, 0], tn[:, 0, 1], tn[:, 0, 2])
+            tn1 = (tn[:, 1, 0], tn[:, 1, 1], tn[:, 1, 2])
+            tn2 = (tn[:, 2, 0], tn[:, 2, 1], tn[:, 2, 2])
         bu = rec.extra[..., 0]
         bv = rec.extra[..., 1]
         b0 = 1.0 - bu - bv
         tri_shading = V.normalize((
-            b0 * tn[:, 0, 0] + bu * tn[:, 1, 0] + bv * tn[:, 2, 0],
-            b0 * tn[:, 0, 1] + bu * tn[:, 1, 1] + bv * tn[:, 2, 1],
-            b0 * tn[:, 0, 2] + bu * tn[:, 1, 2] + bv * tn[:, 2, 2],
+            b0 * tn0[0] + bu * tn1[0] + bv * tn2[0],
+            b0 * tn0[1] + bu * tn1[1] + bv * tn2[1],
+            b0 * tn0[2] + bu * tn1[2] + bv * tn2[2],
         ))
 
     front = V.dot(n_raw, direction) < 0.0
@@ -237,13 +287,14 @@ def _ggx_eval(sn, v, l, rough, f0):
 
 
 def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=False,
-                first_rec=None):
+                first_rec=None, first_attrs=None):
     """Full path trace for a flat ray batch (component-form rays).
 
     origin0/dir0: component triples of [B]. `first_rec` optionally supplies
     a precomputed bounce-0 closest-hit record (the compaction path traces
     primaries for the full frame, partitions rays hit-first, then runs the
-    rest of the transport on the compacted order). Returns (radiance
+    rest of the transport on the compacted order); `first_attrs` its
+    in-kernel attribute rows when the attrs path is live. Returns (radiance
     triple, seed) or with stats (radiance, seed, (path_rays, occl_rays)):
     path_rays counts closest-hit extension segments (camera + bounces),
     occl_rays counts any-hit shadow/env-NEE candidate rays."""
@@ -252,6 +303,8 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
     clip = _clip_tuple(flags, u)
     ambient = V.splat(u.ambient_color)
     volume_color = V.splat(u.volume_color)
+    use_attrs = (first_attrs is not None if first_rec is not None
+                 else _use_attrs(scene, flags))
 
     def bounce_body(bounce, carry):
         (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
@@ -261,18 +314,27 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
         throughput = (tpx, tpy, tpz)
         radiance = (rx, ry, rz)
 
+        attrs = None
         if first_rec is not None:
             nrays = nrays + jnp.sum(alive.astype(jnp.int32))
+            traced = _trace_or_skip(scene, flags, origin, direction, u.t_min,
+                                    clip, alive & (bounce > 0),
+                                    with_attrs=use_attrs)
+            if use_attrs:
+                traced, t_attrs = traced
+                attrs = jax.lax.select_n((bounce == 0).astype(jnp.int32),
+                                         t_attrs, first_attrs)
             rec = jax.tree_util.tree_map(
                 lambda pre, live: jax.lax.select_n(
                     (bounce == 0).astype(jnp.int32), live, pre),
-                first_rec,
-                _trace_or_skip(scene, flags, origin, direction, u.t_min, clip,
-                               alive & (bounce > 0)),
+                first_rec, traced,
             )
         else:
             nrays = nrays + jnp.sum(alive.astype(jnp.int32))
-            rec = _closest_hit(scene, flags, origin, direction, u.t_min, clip, active=alive)
+            rec = _closest_hit(scene, flags, origin, direction, u.t_min, clip,
+                               active=alive, with_attrs=use_attrs)
+            if use_attrs:
+                rec, attrs = rec
         hit = rec.prim_type >= 0
         t_surface = jnp.where(hit, rec.t, BIG)
 
@@ -315,10 +377,10 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
         # Everything below runs only when some lane in this chunk hit —
         # all-miss (pure background) chunks return here.
         return jax.lax.cond(jnp.any(alive),
-                            lambda c: shade_tail(bounce, rec, c),
+                            lambda c: shade_tail(bounce, rec, attrs, c),
                             lambda c: c, carry_mid)
 
-    def shade_tail(bounce, rec, carry):
+    def shade_tail(bounce, rec, attrs, carry):
         (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
          rx, ry, rz, last_pdf, alive, nrays, noccl) = carry
         origin = (ox, oy, oz)
@@ -330,7 +392,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
         # --- surface reconstruction ---
         pos = V.add(origin, V.scale(direction, rec.t))
         n_geom, sn, base_color, front = _surface_attributes(
-            scene, flags, rec, pos, direction, u)
+            scene, flags, rec, pos, direction, u, attrs=attrs)
         v = V.neg(direction)
 
         # --- glass / translucent transmission (webgl.js:1276-1313) ---
@@ -341,7 +403,10 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
             if flags.material_mode == 2:
                 glass_lane = rec.prim_type == PRIM_TRIANGLE
                 if flags.surface_flag_mode != 0 and scene.tri_count:
-                    tflag = scene.tri_flags[jnp.maximum(rec.prim_local, 0)]
+                    if attrs is not None:
+                        tflag = attrs[:, 24]
+                    else:
+                        tflag = scene.tri_flags[jnp.maximum(rec.prim_local, 0)]
                     glass_lane = glass_lane & (tflag > 0.5)
             else:
                 glass_lane = jnp.ones((n,), bool)
@@ -750,10 +815,20 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
 
     # The compaction path only consumes (t, prim_slot) from the primary
     # record — full attributes are rebuilt per chunk after permutation, so
-    # skip the full-batch finalize gather (~26 ms/frame at 1080p).
+    # skip the full-batch finalize gather (~26 ms/frame at 1080p). On the
+    # attrs path the kernel extracts the winner's attribute row in-kernel
+    # (one-hot MXU matmuls), so the per-chunk rebuild needs no gather
+    # either — (t, attrs) moves through the permutation instead of
+    # (t, slot).
+    use_attrs = _use_attrs(scene, flags)
+    attrs0 = None
     slim0 = flags.tracer == "wavefront"
-    rec0 = _closest_hit(scene, flags, origin, direction, u.t_min, clip,
-                        full_record=not slim0)
+    if use_attrs:
+        rec0, attrs0 = _closest_hit(scene, flags, origin, direction, u.t_min,
+                                    clip, with_attrs=True)
+    else:
+        rec0 = _closest_hit(scene, flags, origin, direction, u.t_min, clip,
+                            full_record=not slim0)
     size = n // chunks
     import os
     if os.environ.get("WRT_NO_PERM"):
@@ -787,7 +862,9 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
     # instead of 15; the stack tracer's slots index a different table, so
     # it keeps the full record.
     slim = flags.tracer == "wavefront"
-    if slim:
+    if use_attrs:
+        state = (seed,) + origin + direction + (rec0.t, attrs0)
+    elif slim:
         state = (seed,) + origin + direction + (rec0.t, rec0.prim_slot)
     else:
         state = (seed,) + origin + direction + tuple(rec0)
@@ -801,7 +878,19 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         seed_c = args[0]
         origin_c = args[1:4]
         direction_c = args[4:7]
-        if slim:
+        attrs_c = None
+        if use_attrs:
+            t_c, attrs_c = args[7], args[8]
+            hit_c = attrs_c[:, 11] >= 0.0
+            slot_c = jnp.where(hit_c, attrs_c[:, 28].astype(jnp.int32), -1)
+            tmin_c = jnp.broadcast_to(u.t_min, t_c.shape).astype(jnp.float32)
+            # No gather: the carried attr rows ARE the winner rows; the
+            # barycentric/cap re-derivation and (idempotent) sphere-t
+            # refinement are elementwise.
+            rec_c = _finalize_hit(scene, origin_c, direction_c, tmin_c, clip,
+                                  t_c, slot_c, cost=jnp.zeros_like(slot_c),
+                                  refine_sphere_t=True, row=attrs_c[:, :12])
+        elif slim:
             t_c, slot_c = args[7], args[8]
             tmin_c = jnp.broadcast_to(u.t_min, t_c.shape).astype(jnp.float32)
             # refine_sphere_t: the lean Pallas record carries the kernel's
@@ -813,7 +902,8 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         else:
             rec_c = HitRecord(*args[7:])
         out = trace_paths(scene, env, vol, flags, u, origin_c, direction_c,
-                          seed_c, with_stats=with_stats, first_rec=rec_c)
+                          seed_c, with_stats=with_stats, first_rec=rec_c,
+                          first_attrs=attrs_c)
         if with_stats:
             radiance, seed_o, nrays = out
             return V.to_array(radiance), nrays
