@@ -160,3 +160,36 @@ def test_clip_matches_block(tri_scene):
                               interpret=True, perray=True)
     np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
     np.testing.assert_array_equal(np.asarray(tb), np.asarray(tp))
+
+
+def test_auto_secondary_routing(sphere_scene):
+    """perray_auto_secondary gates on cluster count, and the auto-routed
+    secondary trace (wf_trace_closest_v3(secondary=True)) returns the
+    same hits as the block path on a qualifying scene."""
+    import os
+
+    import webgl_raytracer_tpu.ops.wavefront as W
+
+    # The module fixture is small; build a cluster-rich scene.
+    rng = np.random.default_rng(7)
+    n = 70 * 128
+    centers = (rng.random((n, 3)).astype(np.float32) - 0.5) * 40
+    radii = (0.15 + rng.random(n) * 0.3).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    big = compile_scene(Geometry(centers, radii, colors, z3, z3, z1, z3))
+    assert big.num_clusters >= PS.PERRAY_MIN_CLUSTERS
+    assert PS.perray_auto_secondary(big)
+    assert not PS.perray_auto_secondary(sphere_scene)
+
+    o3, d3, tmin = _ray_batch(9, 1500, spread=8.0, zoff=25.0)
+    os.environ["WRT_PALLAS_INTERPRET"] = "1"
+    try:
+        rec_b = W.wf_trace_closest_v3(big, o3, d3, tmin)
+        rec_s = W.wf_trace_closest_v3(big, o3, d3, tmin, secondary=True)
+    finally:
+        del os.environ["WRT_PALLAS_INTERPRET"]
+    np.testing.assert_array_equal(np.asarray(rec_b.prim_slot),
+                                  np.asarray(rec_s.prim_slot))
+    np.testing.assert_array_equal(np.asarray(rec_b.t), np.asarray(rec_s.t))

@@ -1194,16 +1194,37 @@ def _scalar_operand(clip, mid, scene):
         jnp.zeros(3, jnp.float32), root, jnp.zeros(2, jnp.float32)]), True
 
 
+# Cluster count from which the per-ray worklist beats the block worklist
+# on DIVERGENT closest-hit batches (secondary bounce rays). Measured on
+# TPU v5e (tools/bench_traversal.py, fused scans): at K=10 per-ray loses
+# everywhere (0.5-0.95x — chains are as long as the union and the
+# pop+MXU-gather step cost dominates); at K=127 it wins 2.0x on sparse
+# and 2.25x on dense secondary closest batches, while PRIMARY (coherent,
+# block-friendly) and SHADOW (any-hit early exits) stay faster on the
+# block kernels at both sizes. So per-ray is auto-enabled only for
+# secondary closest traces on cluster-rich scenes.
+PERRAY_MIN_CLUSTERS = 64
+
+
+def perray_auto_secondary(scene) -> bool:
+    """Should a SECONDARY-bounce closest trace use the per-ray kernels?"""
+    return (perray_supported(scene)
+            and scene.num_clusters >= PERRAY_MIN_CLUSTERS)
+
+
 def _use_perray(scene, perray):
     """Resolve the traversal formulation: per-ray worklist (work
     proportional to each ray's own cluster chain) vs block worklist.
     perray=None consults WRT_PERRAY ('1' force on, '0' force off; unset =
-    off pending on-chip measurement — flip here once tools/bench_traversal
-    shows a win)."""
+    block — callers opt secondary closest traces in via
+    perray_auto_secondary)."""
     if not perray_supported(scene):
         return False
+    env = os.environ.get("WRT_PERRAY")
+    if env == "0":       # global kill switch (A/B the auto routing)
+        return False
     if perray is None:
-        return os.environ.get("WRT_PERRAY") == "1"
+        return env == "1"
     return bool(perray)
 
 

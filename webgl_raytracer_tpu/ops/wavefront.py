@@ -867,7 +867,8 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
                         max_iters: int = 4096, use_pallas: bool = True,
                         force_dense: bool = False,
                         full_record: bool = True,
-                        with_attrs: bool = False):
+                        with_attrs: bool = False,
+                        secondary: bool = False):
     """Closest hit via the cluster wavefront; rays as component triples.
     prim_slot indexes the padded cluster table ([K*C, 12]). force_dense
     sweeps every cluster with no worklist/kernel — the reference's
@@ -887,7 +888,11 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
     any downstream shading needs a per-lane gather. The record is fully
     finalized (refined t, barycentrics) from the carried rows; attrs
     cols 12-14 are the primitive color, 15-23 the tri vertex normals,
-    24 the tri flag (see pallas_trace._attr_operand)."""
+    24 the tri flag (see pallas_trace._attr_operand).
+
+    secondary: hint that this batch is divergent bounce rays — routes
+    the Pallas branch to the per-ray worklist kernels on cluster-rich
+    scenes (pallas_trace.perray_auto_secondary)."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
     n = o3[0].shape[0]
     k = scene.num_clusters
@@ -908,8 +913,15 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
                                 cost=cost, refine_sphere_t=True,
                                 row=attrs[:, :12])
             return rec, attrs
+        # Secondary bounce rays are divergent: each ray's own front-to-back
+        # chain is much shorter than its block's cluster union, and on
+        # cluster-rich scenes the per-ray worklist kernels win 2x+
+        # (see pallas_trace.PERRAY_MIN_CLUSTERS). Primaries stay on the
+        # block kernels (coherent frustums; measured faster there).
+        perray = True if (secondary
+                          and PS.perray_auto_secondary(scene)) else None
         closest, best_row = PS.trace_closest(scene, o3, d3, t_min, clip=clip,
-                                             active=active,
+                                             active=active, perray=perray,
                                              interpret=pallas_forced_interpret())
         if not full_record:
             hit = best_row >= 0

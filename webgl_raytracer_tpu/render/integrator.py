@@ -75,7 +75,7 @@ def _use_attrs(scene, flags) -> bool:
 
 
 def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None,
-                 full_record=True, with_attrs=False):
+                 full_record=True, with_attrs=False, secondary=False):
     """Tracer dispatch: the dense cluster wavefront (default, TPU-native) or
     the reference-shaped masked BVH stack walk. When an activity mask is
     given, the whole traversal is skipped via a scalar-predicate cond if no
@@ -95,7 +95,8 @@ def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None,
                                        use_pallas=not flags.distributed,
                                        force_dense=not flags.use_bvh,
                                        full_record=full_record,
-                                       with_attrs=with_attrs)
+                                       with_attrs=with_attrs,
+                                       secondary=secondary)
         return _traverse(
             scene, jnp.stack(o3, -1), jnp.stack(d3, -1), t_min, clip,
             any_hit=False, accept_min=None, t_max=None,
@@ -150,9 +151,21 @@ def _any_hit(scene, flags, o3, d3, t_min, clip, accept_min=None,
 def _trace_or_skip(scene, flags, origin, direction, t_min, clip, active,
                    with_attrs=False):
     """Closest hit gated on `active` (used by the compaction path, where
-    bounce 0 reuses a precomputed record and only later bounces trace)."""
+    bounce 0 reuses a precomputed record and only later bounces trace —
+    every live trace through here is a secondary bounce).
+
+    Note on formulation switches (measured, round 3): routing these
+    traces to the per-ray kernels changes SOME pixels vs the block
+    kernels even though both formulations are bit-identical on identical
+    inputs — changing any kernel boundary changes XLA's fusion of the
+    bounce-origin arithmetic by last-place ulps, which flips marginal
+    self-intersection hits at t ~ ray_bias (3.8e-4 scene units). The
+    same flips occur between chunk-count choices and are exactly the
+    decision-boundary flips PARITY_RMSE's flip-excluded metric was built
+    for; no formulation is "wrong"."""
     return _closest_hit(scene, flags, origin, direction, t_min, clip,
-                        active=active, with_attrs=with_attrs)
+                        active=active, with_attrs=with_attrs,
+                        secondary=True)
 
 
 def _fetch_hit_rows(scene, flags, slot):
@@ -306,7 +319,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
     use_attrs = (first_attrs is not None if first_rec is not None
                  else _use_attrs(scene, flags))
 
-    def bounce_body(bounce, carry):
+    def bounce_body(bounce, carry, static_bounce=0):
         (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
          rx, ry, rz, last_pdf, alive, nrays, noccl) = carry
         origin = (ox, oy, oz)
@@ -332,7 +345,8 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
         else:
             nrays = nrays + jnp.sum(alive.astype(jnp.int32))
             rec = _closest_hit(scene, flags, origin, direction, u.t_min, clip,
-                               active=alive, with_attrs=use_attrs)
+                               active=alive, with_attrs=use_attrs,
+                               secondary=static_bounce > 0)
             if use_attrs:
                 rec, attrs = rec
         hit = rec.prim_type >= 0
@@ -627,7 +641,8 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
         else:
             carry = jax.lax.cond(
                 jnp.any(carry[14]),
-                lambda c, b=bounce: bounce_body(jnp.int32(b), c),
+                lambda c, b=bounce: bounce_body(jnp.int32(b), c,
+                                                static_bounce=b),
                 lambda c: c,
                 carry,
             )
