@@ -260,6 +260,24 @@ class TestServer:
         # Bundled protein asset loads through the same route.
         out = state.load_scene({"scene": "protein:TSTP", "style": "cartoon"})
         assert out["ok"] and r.scene.tri_count > 0
+        # SES probe/resolution reach the surface builder; out-of-range
+        # values are rejected before any rebuild (a 0.01 resolution would
+        # be a ~1e9-cell grid on a live server).
+        out = state.load_scene({"scene": "ethanol", "surface": True,
+                                "probe_radius": 1.2,
+                                "surface_resolution": 0.8})
+        assert out["ok"] and r.scene.tri_count > 0
+        tris_coarse = r.scene.tri_count
+        out = state.load_scene({"scene": "ethanol", "surface": True,
+                                "probe_radius": 1.2,
+                                "surface_resolution": 0.5})
+        assert out["ok"] and r.scene.tri_count > tris_coarse
+        out = state.load_scene({"scene": "ethanol", "surface": True,
+                                "surface_resolution": 0.01})
+        assert not out["ok"] and "out of range" in out["error"]
+        out = state.load_scene({"scene": "ethanol", "surface": True,
+                                "probe_radius": 99})
+        assert not out["ok"] and "out of range" in out["error"]
 
 
 class TestUtils:

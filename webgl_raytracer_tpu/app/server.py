@@ -189,6 +189,10 @@ VIEWER_HTML = """<!DOCTYPE html>
   <option>stick</option><option>cartoon</option>
  </select>
  <label><input type="checkbox" id="sesChk"> SES surface</label>
+ <label>probe <input type="number" id="sesProbe" value="1.4" min="0.5"
+  max="3.0" step="0.1" style="width:4em"></label>
+ <label>res <input type="number" id="sesRes" value="0.5" min="0.2"
+  max="2.0" step="0.05" style="width:4em"></label>
  <button id="loadBtn">load</button>
  <span id="loadMsg"></span>
 </fieldset>
@@ -325,6 +329,8 @@ document.getElementById('loadBtn').addEventListener('click', async () => {
     scene: document.getElementById('sceneSel').value,
     style: document.getElementById('styleSel').value,
     surface: document.getElementById('sesChk').checked,
+    probe_radius: parseFloat(document.getElementById('sesProbe').value),
+    surface_resolution: parseFloat(document.getElementById('sesRes').value),
   })})).json();
   msg.textContent = r.ok ? `${r.prims} prims` : (r.error || 'failed');
 });
@@ -612,6 +618,19 @@ class ViewerState:
             return {"ok": False, "error": f"unknown style: {style}"}
         surface = bool(spec.get("surface", False))
         volume = bool(spec.get("volume", False))
+        try:
+            probe = float(spec.get("probe_radius", 1.4))
+            resolution = float(spec.get("surface_resolution", 0.5))
+        except (TypeError, ValueError):
+            return {"ok": False, "error": "bad probe/resolution"}
+        # Same limits the CLI enforces: probe in the reference slider's
+        # range, resolution floored so a stray 0.01 can't build a 1e9-cell
+        # grid on a live server (index.html surface controls).
+        if not 0.5 <= probe <= 3.0:
+            return {"ok": False, "error": f"probe_radius out of range: {probe}"}
+        if not 0.2 <= resolution <= 2.0:
+            return {"ok": False,
+                    "error": f"surface_resolution out of range: {resolution}"}
         with self.lock:
             try:
                 if name == "primitives":
@@ -639,6 +658,7 @@ class ViewerState:
                         raise ValueError(f"unknown scene: {name}")
                     loaded = load_molecule_scene(
                         mol, display_style=style, show_surface=surface,
+                        probe_radius=probe, surface_resolution=resolution,
                         volume_enabled=volume, logger=self.logger)
             except Exception as exc:   # surface load failures as 200+error,
                 if self.logger:        # like the reference's status log
