@@ -70,8 +70,54 @@ def test_supported_gating(sphere_scene, cyl_scene, tri_scene):
     assert PS.perray_supported(tri_scene)
     from webgl_raytracer_tpu.models import (get_builtin_molecule,
                                             molecule_to_geometry)
+    # Sphere+cylinder mixes (every molecule style except cartoon/SES) use
+    # the ptype-masked mixed mode; mixes involving triangles do not.
     mixed = compile_scene(molecule_to_geometry(get_builtin_molecule("caffeine")))
-    assert not PS.perray_supported(mixed)   # two primitive types
+    rows, types = PS._perray_mode(mixed)
+    assert 11 in rows and types == (True, True, False)
+    assert not PS.perray_supported(mixed)   # below MIN_CLUSTERS, not type
+    tv = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    geo = molecule_to_geometry(get_builtin_molecule("caffeine"))
+    with_tris = compile_scene(geo, tri_verts=tv)
+    assert PS._perray_mode(with_tris) is None   # triangle mix
+
+
+@pytest.fixture(scope="module")
+def mixed_scene():
+    """Sphere+cylinder molecule-STYLE scene big enough for the per-ray
+    cluster-count gate (builtin molecules compile to <4 clusters)."""
+    rng = np.random.default_rng(23)
+    ns, nc = 500, 400
+    centers = (rng.random((ns, 3)).astype(np.float32) - 0.5) * 14
+    radii = (0.15 + rng.random(ns) * 0.3).astype(np.float32)
+    colors = rng.random((ns, 3)).astype(np.float32)
+    p1 = (rng.random((nc, 3)).astype(np.float32) - 0.5) * 14
+    p2 = p1 + rng.normal(size=(nc, 3)).astype(np.float32) * 0.8
+    cr = (0.05 + rng.random(nc) * 0.1).astype(np.float32)
+    cc = rng.random((nc, 3)).astype(np.float32)
+    scene = compile_scene(Geometry(centers, radii, colors, p1, p2, cr, cc))
+    assert PS.perray_supported(scene)
+    return scene
+
+
+def test_mixed_closest_matches_block(mixed_scene):
+    o3, d3, tmin = _ray_batch(5, 1500, spread=2.0, zoff=8.0)
+    tb, rb = PS.trace_closest(mixed_scene, o3, d3, tmin, interpret=True,
+                              perray=False)
+    tp, rp = PS.trace_closest(mixed_scene, o3, d3, tmin, interpret=True,
+                              perray=True)
+    assert int((np.asarray(rb) >= 0).sum()) > 50   # real hits on both types
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tp))
+
+
+def test_mixed_any_matches_block(mixed_scene):
+    o3, d3, tmin = _ray_batch(7, 1500, spread=2.0, zoff=8.0)
+    fb = PS.trace_any(mixed_scene, o3, d3, tmin, interpret=True,
+                      perray=False)
+    fp = PS.trace_any(mixed_scene, o3, d3, tmin, interpret=True,
+                      perray=True)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fp))
 
 
 @pytest.mark.parametrize("fixt", ["sphere_scene", "cyl_scene", "tri_scene"])

@@ -162,6 +162,49 @@ def main() -> int:
           f"hits {hit_agree.mean():.4f}, rel dt {rel.max(initial=0):.2e}, "
           f"hit frac {float(both.mean()):.2f}")
 
+    # --- 3b: per-ray worklist kernels vs block kernels, compiled ----------
+    # Interpret tests cover these too, but Mosaic divergence is invisible
+    # there; this leg pins the on-chip bit-exactness the secondary-trace
+    # auto-routing (perray_auto_secondary) relies on.
+    from webgl_raytracer_tpu.models.molecular import Geometry
+    from webgl_raytracer_tpu.scene import compile_scene
+
+    prng = np.random.default_rng(23)
+    _ns, _nc = 5000, 4000
+    _p1 = (prng.random((_nc, 3)).astype(np.float32) - 0.5) * 30
+    mixed_big = Renderer(compile_scene(Geometry(
+        ((prng.random((_ns, 3)) - 0.5) * 30).astype(np.float32),
+        (0.15 + prng.random(_ns) * 0.3).astype(np.float32),
+        prng.random((_ns, 3)).astype(np.float32),
+        _p1, _p1 + prng.normal(size=(_nc, 3)).astype(np.float32) * 1.2,
+        (0.05 + prng.random(_nc) * 0.1).astype(np.float32),
+        prng.random((_nc, 3)).astype(np.float32)))).scene
+    for label, prs in (("10k spheres", Renderer(
+            load_random_spheres(10000).scene).scene),
+                       ("sphere+cyl mixed", mixed_big)):
+        if not PS.perray_supported(prs):
+            check(f"per-ray kernel support ({label})", False,
+                  "perray_supported returned False")
+            continue
+        o3p = tuple(jnp.asarray(o[:, i] * 2.0) for i in range(3))
+        act = jnp.asarray(rng.random(n) < 0.5)
+        tb, rb = jax.jit(lambda *a, prs=prs: PS.trace_closest(
+            prs, *a, active=act, perray=False))(o3p, d3, t_min)
+        tp, rp = jax.jit(lambda *a, prs=prs: PS.trace_closest(
+            prs, *a, active=act, perray=True))(o3p, d3, t_min)
+        ab = jax.jit(lambda *a, prs=prs: PS.trace_any(
+            prs, *a, active=act, perray=False))(o3p, d3, t_min)
+        app = jax.jit(lambda *a, prs=prs: PS.trace_any(
+            prs, *a, active=act, perray=True))(o3p, d3, t_min)
+        rows_eq = bool((np.asarray(rb) == np.asarray(rp)).all())
+        hitm = np.asarray(rb) >= 0
+        t_eq = bool((np.asarray(tb)[hitm] == np.asarray(tp)[hitm]).all())
+        any_eq = bool((np.asarray(ab) == np.asarray(app)).all())
+        check(f"per-ray vs block kernels ({label}, compiled, K="
+              f"{prs.num_clusters})", rows_eq and t_eq and any_eq,
+              f"rows_eq {rows_eq}, t_eq {t_eq}, any_eq {any_eq}, "
+              f"hits {int(hitm.sum())}")
+
     # --- 4: timing probe ---------------------------------------------------
     if not args.fast:
         bench = load_random_spheres(1000)

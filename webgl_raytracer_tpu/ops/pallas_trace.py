@@ -707,6 +707,25 @@ _PERRAY_ROWS = {
     PRIM_CYLINDER: (0, 1, 2, 3, 4, 5, 6),
     PRIM_TRIANGLE: (0, 1, 2, 4, 5, 6, 8, 9, 10),
 }
+# Mixed sphere+cylinder scenes (every molecule style except cartoon/SES)
+# gather the union of both row sets PLUS the per-prim type row 11 —
+# _prim_ts_rows' multi-type path masks each intersector on ptype, so a
+# per-ray gathered cluster may mix types freely at ~2x the gather width.
+_PERRAY_ROWS_SPH_CYL = (0, 1, 2, 3, 4, 5, 6, 11)
+
+
+def _perray_mode(scene):
+    """(rows_idx, types) for the per-ray kernels, or None when the
+    scene's primitive mix is unsupported (any mix involving triangles —
+    three intersectors per step stops paying)."""
+    types = _types(scene)
+    if sum(types) == 1:
+        st = (PRIM_SPHERE, PRIM_CYLINDER, PRIM_TRIANGLE)[types.index(True)]
+        return _PERRAY_ROWS[st], (st == PRIM_SPHERE, st == PRIM_CYLINDER,
+                                  st == PRIM_TRIANGLE)
+    if types[0] and types[1] and not types[2]:
+        return _PERRAY_ROWS_SPH_CYL, (True, True, False)
+    return None
 
 
 def _slab_entries_rows(boxT, od, t_cap=None):
@@ -767,14 +786,13 @@ def _perray_pop(ev_ref, kio2, stop_mask):
     return sel, idx, oh_b
 
 
-def _make_closest_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
+def _make_closest_kernel_perray(mode, kpad, clip_on=False, with_cost=False):
     """Per-ray front-to-back closest hit (see section comment). bt/bk are
     [BLOCK, 128] per-lane-slot accumulators exactly like the block-worklist
-    kernel; idx is a per-ray column instead of a loop scalar."""
-    rows_idx = _PERRAY_ROWS[stype]
+    kernel; idx is a per-ray column instead of a loop scalar. `mode` is
+    _perray_mode's (rows_idx, types)."""
+    rows_idx, types = mode
     rowmap = {r: j for j, r in enumerate(rows_idx)}
-    types = (stype == PRIM_SPHERE, stype == PRIM_CYLINDER,
-             stype == PRIM_TRIANGLE)
 
     def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref, cp_ref,
                t_out, row_out, *rest):
@@ -850,11 +868,9 @@ def _make_closest_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
     return kernel
 
 
-def _make_any_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
-    rows_idx = _PERRAY_ROWS[stype]
+def _make_any_kernel_perray(mode, kpad, clip_on=False, with_cost=False):
+    rows_idx, types = mode
     rowmap = {r: j for j, r in enumerate(rows_idx)}
-    types = (stype == PRIM_SPHERE, stype == PRIM_CYLINDER,
-             stype == PRIM_TRIANGLE)
 
     def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref, cp_ref,
                found_out, *rest):
@@ -922,11 +938,11 @@ def _make_any_kernel_perray(stype, kpad, clip_on=False, with_cost=False):
 def _gather_operands(scene, mid):
     """bf16 mantissa-split gather operands for the per-ray kernels: three
     [kpad, R*128] arrays whose f32 sum reconstructs the scene-centered SoA
-    rows _PERRAY_ROWS[stype] exactly (24-bit mantissa = 3 x 8-bit bf16
-    splits). Padding prims get radius -1 (pad_guard masks them; zero
-    triangles are degenerate and miss on their own)."""
-    stype = _single_type(scene)
-    rows_idx = _PERRAY_ROWS[stype]
+    the mode's rows exactly (24-bit mantissa = 3 x 8-bit bf16 splits).
+    Padding prims get radius -1 (pad_guard masks them; zero triangles
+    are degenerate and miss on their own; mixed-mode padding also
+    carries ptype -1, which matches no intersector)."""
+    rows_idx, _ = _perray_mode(scene)
     k = scene.num_clusters
     c = scene.cluster_size
     soa = scene.cluster_soa                       # [K, 12, C]
@@ -950,17 +966,11 @@ def _gather_operands(scene, mid):
     return w1, w2, w3, len(rows_idx)
 
 
-def _single_type(scene):
-    types = _types(scene)
-    if sum(types) != 1:
-        return None
-    return (PRIM_SPHERE, PRIM_CYLINDER, PRIM_TRIANGLE)[types.index(True)]
-
-
 def perray_supported(scene) -> bool:
-    """Scenes the per-ray worklist kernels handle: one primitive type,
-    one 128-cluster group."""
-    return (_single_type(scene) is not None
+    """Scenes the per-ray worklist kernels handle: a single primitive
+    type or a sphere+cylinder mix (molecule styles), one 128-cluster
+    group."""
+    return (_perray_mode(scene) is not None
             and MIN_CLUSTERS <= scene.num_clusters <= PERRAY_MAX_CLUSTERS
             and scene.cluster_size == 128)
 
@@ -1245,7 +1255,7 @@ def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
     if _use_perray(scene, perray):
         w1, w2, w3, nr = _gather_operands(scene, mid)
         out = _grid_call_perray(
-            _make_closest_kernel_perray(_single_type(scene),
+            _make_closest_kernel_perray(_perray_mode(scene),
                                         _kpad(scene.num_clusters), clip_on,
                                         with_cost=with_cost),
             True, n_pad, scene.num_clusters, nr, outs,
@@ -1289,7 +1299,7 @@ def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
     if _use_perray(scene, perray):
         w1, w2, w3, nr = _gather_operands(scene, mid)
         out = _grid_call_perray(
-            _make_any_kernel_perray(_single_type(scene),
+            _make_any_kernel_perray(_perray_mode(scene),
                                     _kpad(scene.num_clusters), clip_on,
                                     with_cost=with_cost),
             False, n_pad, scene.num_clusters, nr, outs,
