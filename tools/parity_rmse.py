@@ -54,12 +54,28 @@ def main() -> None:
     ap.add_argument("--oracle-chunk", type=int, default=4096)
     ap.add_argument("--skip-decay", action="store_true")
     ap.add_argument("--only", help="substring filter on scene names")
-    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_RMSE.json"))
+    ap.add_argument("--oracle-cache", default=None,
+                    help="directory of cached oracle accumulations keyed by "
+                         "(scene, size, frames); written when absent")
+    ap.add_argument("--oracle-only", action="store_true",
+                    help="compute and cache ONLY the oracle side, on the CPU "
+                         "backend — lets the (hours-long) NumPy oracle run "
+                         "while the TPU tunnel is busy or down; a later "
+                         "normal run reads the cache and only renders the "
+                         "device side")
     args = ap.parse_args()
+
+    if args.oracle_only:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        if not args.oracle_cache:
+            args.oracle_cache = "/tmp/parity_oracle_cache"
 
     from webgl_raytracer_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache()
+    if not args.oracle_only:
+        enable_compilation_cache()
 
     import jax
     import numpy as np
@@ -141,7 +157,7 @@ def main() -> None:
         return np.concatenate(outs, axis=0)
 
     def run_pair(loaded, env, overrides, clip_on=False, vol_on=False,
-                 n_frames=4, sz=64):
+                 n_frames=4, sz=64, cache_name=None):
         r = Renderer(loaded.scene, width=sz, height=sz, env=env)
         r.settings.tone_map = "linear"
         for k, v in overrides.items():
@@ -163,19 +179,32 @@ def main() -> None:
                   if vol is not None else None)
         px_np, py_np = np.asarray(px), np.asarray(py)
 
-        acc_dev = None
+        cache_file = None
         acc_ora = None
+        if args.oracle_cache and cache_name:
+            os.makedirs(args.oracle_cache, exist_ok=True)
+            cache_file = os.path.join(
+                args.oracle_cache, f"{cache_name}_{sz}x{sz}_f{n_frames}.npz")
+            if os.path.isfile(cache_file):
+                acc_ora = np.load(cache_file)["acc"]
+        need_oracle = acc_ora is None
+
+        acc_dev = None
         for f in range(n_frames):
-            cd = np.asarray(render_batch(r.scene, r.env, vol, flags, u, px, py,
-                                         np.uint32(f)))
-            co = oracle_chunked(loaded.scene, env, vol_np, flags, u_np,
-                                px_np, py_np, f)
-            if acc_dev is None:
-                acc_dev, acc_ora = cd, co
-            else:
-                fi = np.float32(f)
-                acc_dev = (acc_dev * fi + cd) / (fi + 1)
-                acc_ora = (acc_ora * fi + co) / (fi + 1)
+            if not args.oracle_only:
+                cd = np.asarray(render_batch(r.scene, r.env, vol, flags, u,
+                                             px, py, np.uint32(f)))
+                acc_dev = (cd if acc_dev is None
+                           else (acc_dev * np.float32(f) + cd)
+                           / np.float32(f + 1))
+            if need_oracle:
+                co = oracle_chunked(loaded.scene, env, vol_np, flags, u_np,
+                                    px_np, py_np, f)
+                acc_ora = (co if f == 0
+                           else (acc_ora * np.float32(f) + co)
+                           / np.float32(f + 1))
+        if need_oracle and cache_file:
+            np.savez_compressed(cache_file, acc=acc_ora)
         return flags, acc_dev, acc_ora
 
     results = []
@@ -186,8 +215,12 @@ def main() -> None:
         t0 = time.perf_counter()
         flags, acc_dev, acc_ora = run_pair(
             loaded, env, overrides, clip_on=bool(extra.get("clip")),
-            vol_on=bool(extra.get("volume")), n_frames=n_frames, sz=size)
+            vol_on=bool(extra.get("volume")), n_frames=n_frames, sz=size,
+            cache_name=name)
         dt = time.perf_counter() - t0
+        if args.oracle_only:
+            print(f"{name:28s} oracle cached ({dt:.1f}s)")
+            continue
         diff = acc_dev - acc_ora
         rmse = float(np.sqrt(np.mean(diff ** 2)))
         mad = float(np.abs(diff).max())
@@ -234,12 +267,12 @@ def main() -> None:
     # the flip mass above 0.01 and the raw RMSE should fall roughly as
     # 1/frames — evidence the excluded pixels are sampling noise, not bias.
     decay = []
-    if not args.skip_decay:
+    if not args.skip_decay and not args.oracle_only:
         for nf in (4, 16, 64):
             t0 = time.perf_counter()
             _, d, o = run_pair(load_random_spheres(1000), None,
                                dict(material_mode="metallic"),
-                               n_frames=nf, sz=64)
+                               n_frames=nf, sz=64, cache_name="decay")
             diff = d - o
             decay.append({
                 "frames": nf,
@@ -250,6 +283,10 @@ def main() -> None:
             })
             print(f"decay frames={nf:3d} rmse={decay[-1]['rmse']:.3e} "
                   f"flips={decay[-1]['flip_fraction']:.4f}")
+
+    if args.oracle_only:
+        print("oracle-only run complete; cache at", args.oracle_cache)
+        return
 
     out = {
         "criterion": "stream-exact rows: flip-excluded RMSE <= 1e-3 with "
