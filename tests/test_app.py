@@ -321,6 +321,28 @@ class TestDistributed:
         r1.render_frames(4)
         np.testing.assert_allclose(rm.accumulated(), r1.accumulated(), atol=1e-5)
 
+    def test_cli_devices_flag_matches_single_device(self, tmp_path):
+        """`render --devices N` reaches parallel/mesh.py from the app
+        surface (the reference app actually runs its parallelism; the
+        CLI must too) and reproduces the single-device image."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        from PIL import Image
+
+        from webgl_raytracer_tpu.app.cli import main
+
+        outs = {}
+        for n, name in ((len(jax.devices()), "mesh.png"), (1, "single.png")):
+            out = str(tmp_path / name)
+            assert main(["render", "--scene", "spheres50", "--no-env",
+                         "--width", "64", "--height", "48", "--frames", "2",
+                         "--tone-map", "linear", "--devices", str(n),
+                         "--out", out]) == 0
+            outs[name] = np.asarray(Image.open(out), dtype=np.int32)
+        assert np.abs(outs["mesh.png"] - outs["single.png"]).max() <= 1
+
 
 class TestMaterialModes:
     def test_material_mode_mapping(self):

@@ -232,6 +232,30 @@ def test_masked_traces_match_dense(sphere_scene, rays):
     assert (np.asarray(fd)[act] == fp[act]).mean() > 0.999
 
 
+def test_sweep_group_bit_identical(sphere_scene, mixed_scene, rays,
+                                   monkeypatch):
+    """WRT_SWEEP_GROUP>1 amortizes the pop/bound machinery over several
+    sweeps; extra grouped sweeps are only ever wasted work, so results
+    must be BIT-identical to the group=1 kernels on identical inputs."""
+    o3, d3, tmin = rays
+    lo = jnp.full(tmin.shape, 0.01)
+    for scene in (sphere_scene, mixed_scene):
+        base_c = PS.trace_closest(scene, o3, d3, tmin, interpret=True)
+        base_a = PS.trace_any(scene, o3, d3, tmin, t_max=30.0, accept_min=lo,
+                              interpret=True)
+        monkeypatch.setenv("WRT_SWEEP_GROUP", "3")
+        grp_c = PS.trace_closest(scene, o3, d3, tmin, interpret=True)
+        grp_a = PS.trace_any(scene, o3, d3, tmin, t_max=30.0, accept_min=lo,
+                             interpret=True)
+        monkeypatch.delenv("WRT_SWEEP_GROUP")
+        np.testing.assert_array_equal(np.asarray(base_c[0]),
+                                      np.asarray(grp_c[0]))
+        np.testing.assert_array_equal(np.asarray(base_c[1]),
+                                      np.asarray(grp_c[1]))
+        np.testing.assert_array_equal(np.asarray(base_a),
+                                      np.asarray(grp_a))
+
+
 def test_closest_attrs_matches_finalize(sphere_scene, rays):
     """The attrs kernel's one-hot extraction must agree with the gather
     path bit-for-bit: same winner t/slot, and attr rows equal to the

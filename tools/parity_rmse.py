@@ -267,12 +267,16 @@ def main() -> None:
     # the flip mass above 0.01 and the raw RMSE should fall roughly as
     # 1/frames — evidence the excluded pixels are sampling noise, not bias.
     decay = []
-    if not args.skip_decay and not args.oracle_only:
+    if not args.skip_decay:
         for nf in (4, 16, 64):
             t0 = time.perf_counter()
             _, d, o = run_pair(load_random_spheres(1000), None,
                                dict(material_mode="metallic"),
                                n_frames=nf, sz=64, cache_name="decay")
+            if args.oracle_only:
+                print(f"decay frames={nf:3d} oracle cached "
+                      f"({time.perf_counter() - t0:.1f}s)")
+                continue
             diff = d - o
             decay.append({
                 "frames": nf,

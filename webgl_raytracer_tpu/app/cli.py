@@ -90,6 +90,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--vis", type=int, default=0, choices=(0, 1, 2, 3),
                    help="0 render, 1 normals, 2 traversal cost, 3 depth")
     p.add_argument("--tracer", default="wavefront", choices=("wavefront", "stack"))
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="render distributed over the first N jax devices "
+                        "(scene replicated, rays tile-sharded over a 1-D "
+                        "mesh; parallel/mesh.py). Default 1 = single device")
     p.add_argument("--render-scale", type=float, default=1.0,
                    help="internal render resolution scale (renderScale)")
     p.add_argument("--fast-scale", type=float, default=0.25,
@@ -179,9 +183,24 @@ def _make_renderer(args, loaded, logger) -> Renderer:
         ctrl = EnvironmentController(logger=logger)
         env = ctrl.load_analytic_sky(**sky_kwargs(args))
 
+    mesh = None
+    if getattr(args, "devices", 1) > 1:
+        import jax
+
+        from ..parallel import make_mesh
+
+        devs = jax.devices()
+        if len(devs) < args.devices:
+            raise SystemExit(
+                f"--devices {args.devices} requested but only {len(devs)} "
+                f"jax device(s) visible ({devs[0].platform})")
+        mesh = make_mesh(devs[: args.devices])
+        logger.info(f"Distributed over {args.devices} {devs[0].platform} "
+                    "devices (tile-sharded mesh)")
+
     volume = loaded.volume.to_device_buffers() if loaded.volume is not None else None
     r = Renderer(loaded.scene, settings=settings, env=env, volume=volume,
-                 width=args.width, height=args.height)
+                 width=args.width, height=args.height, mesh=mesh)
     if args.render_scale != 1.0:
         r.set_scale(args.render_scale)
     if args.focus is not None:
@@ -266,6 +285,7 @@ def cmd_bench(args) -> int:
         "mpixels_per_s": round(args.width * args.height / best / 1e6, 3),
         "resolution": f"{args.width}x{args.height}",
         "device": str(jax.devices()[0]),
+        "devices": getattr(args, "devices", 1),
     }))
     return 0
 

@@ -363,7 +363,21 @@ def _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply):
         apply(_prim_ts(cols, soa_ref, k, types, clip))
 
 
+def _sweep_group() -> int:
+    """Clusters swept per worklist-loop iteration in the BLOCK kernels
+    (WRT_SWEEP_GROUP, default 1). Grouping amortizes the per-iteration
+    pop + front-to-back bound machinery (a full [BLOCK, 128] reduction
+    each trip) over several SOL-bound intersector sweeps, at the price of
+    refreshing the early-exit bound only once per group (extra sweeps are
+    wasted work, never wrong: hits only replace strictly-closer ones).
+    Read at kernel-build time — benchmarks must build a fresh jit per
+    variant (see docs/ARCHITECTURE.md 'Measured perf truths')."""
+    return max(1, int(os.environ.get("WRT_SWEEP_GROUP", "1")))
+
+
 def _make_closest_kernel(types, kpad, clip_on=False, with_cost=False):
+    group = _sweep_group()
+
     def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
                ct_ref, t_out, row_out, *rest):
         if with_cost:
@@ -401,22 +415,40 @@ def _make_closest_kernel(types, kpad, clip_on=False, with_cost=False):
                 return carry[1] < BIG
 
             def body(carry):
-                ev, _, k, nswept = carry
+                ev, e, k, nswept = carry
 
-                def apply(ts):
-                    bt = bt_ref[:]
-                    upd = (ts > 0.0) & (ts < bt)
-                    bt_ref[:] = jnp.where(upd, ts, bt)
-                    bk_ref[:] = jnp.where(upd, k, bk_ref[:])
+                def sweep_k(k):
+                    def apply(ts):
+                        bt = bt_ref[:]
+                        upd = (ts > 0.0) & (ts < bt)
+                        bt_ref[:] = jnp.where(upd, ts, bt)
+                        bk_ref[:] = jnp.where(upd, k, bk_ref[:])
 
-                _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply)
+                    _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref,
+                                   apply)
+
+                # First sweep unconditional (cond guarantees e < BIG);
+                # the group - 1 extra pops are gated on a live entry. The
+                # bound refresh happens once per GROUP, so grouped trips
+                # may sweep clusters an exact bound would have culled —
+                # wasted work, never wrong.
+                sweep_k(k)
+                nswept = nswept + 1
                 ev = jnp.where(kio == k, INF, ev)
-                e_next, k_next = _pop_nearest(ev, kio)
+                e, k = _pop_nearest(ev, kio)
+                for _ in range(group - 1):
+                    @pl.when(e < BIG)
+                    def _(k=k):
+                        sweep_k(k)
+
+                    nswept = nswept + (e < BIG).astype(jnp.int32)
+                    ev = jnp.where(kio == k, INF, ev)
+                    e, k = _pop_nearest(ev, kio)
                 # Farthest per-ray closest hit; no-hit rays keep it at
                 # BIG, so only fully-hit blocks exit early.
                 bound = jnp.max(jnp.min(bt_ref[:], axis=1))
-                e_next = jnp.where(e_next < bound, e_next, INF)
-                return ev, e_next, k_next, nswept + 1
+                e = jnp.where(e < bound, e, INF)
+                return ev, e, k, nswept
 
             e0, k0 = _pop_nearest(ev0, kio)
             carry = jax.lax.while_loop(cond, body,
@@ -608,6 +640,8 @@ def trace_closest_attrs(scene, o3, d3, t_min, clip=None, active=None,
 
 
 def _make_any_kernel(types, kpad, clip_on=False, with_cost=False):
+    group = _sweep_group()
+
     def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
                ct_ref, found_out, *rest):
         if with_cost:
@@ -643,19 +677,33 @@ def _make_any_kernel(types, kpad, clip_on=False, with_cost=False):
                 return carry[1] < BIG
 
             def body(carry):
-                ev, _, k, nswept = carry
+                ev, e, k, nswept = carry
 
                 def apply(ts):
                     hit = jnp.any((ts > lo_col) & (ts < hi_col), axis=1)
                     found_ref[:] = found_ref[:] | hit.astype(jnp.int32)
 
                 _sweep_cluster(cols, soa_ref, k, types, clip, ct_ref, apply)
-                f = found_ref[:]
+                nswept = nswept + 1
                 ev = jnp.where(kio == k, INF, ev)
-                e_next, k_next = _pop_nearest(ev, kio)
+                e, k = _pop_nearest(ev, kio)
+                for _ in range(group - 1):
+                    # Extra grouped sweeps skip once every ray is
+                    # shadowed — the all-found check is a cheap [BLOCK]
+                    # reduce vs the sweep it saves.
+                    go = (e < BIG) & (jnp.min(found_ref[:]) == 0)
+
+                    @pl.when(go)
+                    def _(k=k):
+                        _sweep_cluster(cols, soa_ref, k, types, clip,
+                                       ct_ref, apply)
+
+                    nswept = nswept + go.astype(jnp.int32)
+                    ev = jnp.where(kio == k, INF, ev)
+                    e, k = _pop_nearest(ev, kio)
                 # Occlusion queries stop once every ray is shadowed.
-                e_next = jnp.where(jnp.min(f) > 0, INF, e_next)
-                return ev, e_next, k_next, nswept + 1
+                e = jnp.where(jnp.min(found_ref[:]) > 0, INF, e)
+                return ev, e, k, nswept
 
             e0, k0 = _pop_nearest(ev0, kio)
             carry = jax.lax.while_loop(cond, body,

@@ -864,7 +864,11 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         perm, inv = _hit_first_permutation(rec0.prim_type >= 0)
         gather = lambda a: a[perm]
     else:
-        g = _PERM_BLOCK if (n % _PERM_BLOCK == 0 and size % _PERM_BLOCK == 0) else 1
+        # WRT_PERM_G tunes the block-compaction granularity (finer blocks
+        # pack live lanes denser but gather shorter DMA rows). NOTE for
+        # benchmarks: read at trace time — build a fresh jit per variant.
+        blk = int(os.environ.get("WRT_PERM_G") or _PERM_BLOCK)
+        g = blk if (n % blk == 0 and size % blk == 0) else 1
         if g > 1:
             perm, inv = _tile_permutation(rec0.prim_type >= 0, g)
             gather = lambda a: a.reshape((n // g, g) + a.shape[1:])[perm].reshape(a.shape)
