@@ -2,8 +2,9 @@
 (interpret mode). The per-ray kernels (pallas_trace `_make_*_perray`) give
 each ray its own front-to-back cluster chain via one-hot MXU gathers; the
 bf16 mantissa-split reconstruction is exact, so results must agree with the
-block kernels to the last ulp on supported scenes (single primitive type,
-<= 128 clusters)."""
+block kernels to the last ulp on supported scenes (single primitive type or
+sphere+cylinder mixes; above 128 clusters the two-level group-outer /
+per-ray-inner body takes over)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -206,6 +207,73 @@ def test_clip_matches_block(tri_scene):
                               interpret=True, perray=True)
     np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
     np.testing.assert_array_equal(np.asarray(tb), np.asarray(tp))
+
+
+@pytest.fixture(scope="module")
+def multigroup_scene():
+    """> 128 clusters: exercises the TWO-LEVEL per-ray body (outer
+    block-uniform group worklist, inner per-ray worklist with 128-aligned
+    dynamic slices of the box/gather operands)."""
+    rng = np.random.default_rng(31)
+    n = 160 * 128
+    centers = (rng.random((n, 3)).astype(np.float32) - 0.5) * 60
+    radii = (0.15 + rng.random(n) * 0.3).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    scene = compile_scene(Geometry(centers, radii, colors, z3, z3, z1, z3))
+    assert scene.num_clusters > 128, scene.num_clusters
+    assert PS.perray_supported(scene)
+    return scene
+
+
+def test_multigroup_closest_matches_block(multigroup_scene):
+    o3, d3, tmin = _ray_batch(5, 1500, spread=12.0, zoff=40.0)
+    tb, rb = PS.trace_closest(multigroup_scene, o3, d3, tmin,
+                              interpret=True, perray=False)
+    tp, rp = PS.trace_closest(multigroup_scene, o3, d3, tmin,
+                              interpret=True, perray=True)
+    assert int((np.asarray(rb) >= 0).sum()) > 100
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tp))
+
+
+def test_multigroup_any_and_cost(multigroup_scene):
+    o3, d3, tmin = _ray_batch(7, 1500, spread=12.0, zoff=40.0)
+    lo = jnp.full(tmin.shape, 0.01)
+    fb, cab = PS.trace_any(multigroup_scene, o3, d3, tmin, t_max=80.0,
+                           accept_min=lo, interpret=True, perray=False,
+                           with_cost=True)
+    fp, cap = PS.trace_any(multigroup_scene, o3, d3, tmin, t_max=80.0,
+                           accept_min=lo, interpret=True, perray=True,
+                           with_cost=True)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fp))
+    assert (np.asarray(cap) <= np.asarray(cab)).all()
+
+    tb, rb, cb = PS.trace_closest(multigroup_scene, o3, d3, tmin,
+                                  interpret=True, perray=False,
+                                  with_cost=True)
+    tp, rp, cp = PS.trace_closest(multigroup_scene, o3, d3, tmin,
+                                  interpret=True, perray=True,
+                                  with_cost=True)
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
+    hit = np.asarray(rb) >= 0
+    assert (np.asarray(cp) <= np.asarray(cb)).all()
+    assert np.asarray(cp)[hit].mean() < np.asarray(cb)[hit].mean()
+    # Multi-group scenes now qualify for the secondary auto-routing.
+    assert PS.perray_auto_secondary(multigroup_scene)
+
+
+def test_multigroup_masked_matches_block(multigroup_scene):
+    o3, d3, tmin = _ray_batch(9, 2048, spread=12.0, zoff=40.0)
+    act = jnp.asarray((np.arange(2048) % 5) == 0)    # 20% live
+    tb, rb = PS.trace_closest(multigroup_scene, o3, d3, tmin, active=act,
+                              interpret=True, perray=False)
+    tp, rp = PS.trace_closest(multigroup_scene, o3, d3, tmin, active=act,
+                              interpret=True, perray=True)
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
+    a = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(tb)[a], np.asarray(tp)[a])
 
 
 def test_auto_secondary_routing(sphere_scene):

@@ -742,12 +742,19 @@ def _make_any_kernel(types, kpad, clip_on=False, with_cost=False):
 # last ulp. Padding primitives carry radius -1 (NaN cannot ride the matmul:
 # 0 x NaN = NaN) and are masked by _prim_ts_rows' pad_guard.
 #
-# Scope: single-primitive-type scenes (per-ray gathered clusters can mix
-# types across rays, which would force every intersector every step) with
-# num_clusters <= PERRAY_MAX_CLUSTERS (the [BLOCK, kpad] entries matrix and
-# the matmul contraction stay one 128-lane group).
+# Scope: single-primitive-type scenes or sphere+cylinder mixes (a mix
+# involving triangles would force every intersector every step). Up to 128
+# clusters the [BLOCK, kpad] entries matrix and the matmul contraction stay
+# one 128-lane group; beyond that the kernels go TWO-LEVEL: an outer
+# block-uniform front-to-back worklist over 128-cluster GROUPS (the same
+# group AABBs the block kernels use), and the per-ray worklist/one-hot
+# gather runs within the current group only — so the entries matrix stays
+# [BLOCK, 128] and each gather matmul contracts over 128 rows (a dynamic
+# 128-aligned sublane slice of the [kpad, R*128] operands) regardless of
+# scene size. Block cost = (groups the block touches) x (max per-ray chain
+# within each group), vs the block kernels' full cluster union.
 
-PERRAY_MAX_CLUSTERS = 128
+PERRAY_MAX_CLUSTERS = MAX_CLUSTERS
 
 # SoA rows each single-type sweep needs (gathered per ray per step).
 _PERRAY_ROWS = {
@@ -805,17 +812,24 @@ def _slab_entries_rows(boxT, od, t_cap=None):
     return jnp.where(boxT[0:1, :] <= boxT[3:4, :], entry, INF)
 
 
-def _perray_gather(oh_b, ws_refs):
-    """Per-ray SoA rows via one-hot MXU selection: [BLOCK, kpad] bool one-hot
+def _perray_gather(oh_b, ws_refs, base=None):
+    """Per-ray SoA rows via one-hot MXU selection: [BLOCK, W] bool one-hot
     against three bf16 mantissa-split operands [kpad, R*128] -> exact f32
-    [BLOCK, R*128] (see section comment)."""
+    [BLOCK, R*128] (see section comment). With `base` (a 128-aligned
+    dynamic scalar) the contraction uses only the current group's 128
+    operand rows — the two-level kernels' gathers stay one MXU pass no
+    matter how many clusters the scene has."""
     oh = oh_b.astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
-    g = jax.lax.dot_general(oh, ws_refs[0][:, :], dn,
+
+    def rows(r):
+        return r[pl.ds(base, 128), :] if base is not None else r[:, :]
+
+    g = jax.lax.dot_general(oh, rows(ws_refs[0]), dn,
                             preferred_element_type=jnp.float32)
-    g = g + jax.lax.dot_general(oh, ws_refs[1][:, :], dn,
+    g = g + jax.lax.dot_general(oh, rows(ws_refs[1]), dn,
                                 preferred_element_type=jnp.float32)
-    return g + jax.lax.dot_general(oh, ws_refs[2][:, :], dn,
+    return g + jax.lax.dot_general(oh, rows(ws_refs[2]), dn,
                                    preferred_element_type=jnp.float32)
 
 
@@ -837,13 +851,17 @@ def _perray_pop(ev_ref, kio2, stop_mask):
 def _make_closest_kernel_perray(mode, kpad, clip_on=False, with_cost=False):
     """Per-ray front-to-back closest hit (see section comment). bt/bk are
     [BLOCK, 128] per-lane-slot accumulators exactly like the block-worklist
-    kernel; idx is a per-ray column instead of a loop scalar. `mode` is
-    _perray_mode's (rows_idx, types)."""
+    kernel; idx is a per-ray column instead of a loop scalar (bk stores the
+    GLOBAL cluster index). `mode` is _perray_mode's (rows_idx, types).
+    kpad > 128 selects the TWO-LEVEL body: outer block-uniform group
+    worklist, inner per-ray worklist within the current group (bbT_ref is
+    the group-stacked [ngroups*8, 128] layout)."""
     rows_idx, types = mode
     rowmap = {r: j for j, r in enumerate(rows_idx)}
+    ngroups = kpad // 128
 
-    def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref, cp_ref,
-               t_out, row_out, *rest):
+    def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref,
+               bgT_ref, cp_ref, t_out, row_out, *rest):
         if with_cost:
             cost_out, bt_ref, bk_ref, ev_ref, cc_ref = rest
         else:
@@ -863,37 +881,73 @@ def _make_closest_kernel_perray(mode, kpad, clip_on=False, with_cost=False):
             bt_ref[:] = jnp.broadcast_to(
                 jnp.where(act[:, None] > 0.0, BIG, -BIG), (BLOCK, 128))
             bk_ref[:] = jnp.zeros((BLOCK, 128), jnp.int32)
-            ev_ref[:] = _slab_entries_rows(bbT_ref[:, :], od)
             if with_cost:
                 cc_ref[:] = jnp.zeros((BLOCK,), jnp.int32)
-            kio2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, kpad), 1)
+            width = 128 if ngroups > 1 else kpad
+            kio2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, width), 1)
 
             def pending():
                 return jnp.any(jnp.min(ev_ref[:], axis=1)
                                < jnp.min(bt_ref[:], axis=1))
 
-            def body(_go):
-                # A ray stops once its nearest remaining entry is at or
-                # beyond its own closest hit (front-to-back early out).
-                done = jnp.min(ev_ref[:], axis=1) >= jnp.min(bt_ref[:], axis=1)
-                sel, idx, oh_b = _perray_pop(ev_ref, kio2, done)
-                g = _perray_gather(oh_b, (ws1_ref, ws2_ref, ws3_ref))
+            def inner(base):
+                """Per-ray worklist over ev_ref (entries of the current
+                group; base = first cluster of the group, 0 when
+                single-group)."""
+                def body(_go):
+                    # A ray stops once its nearest remaining entry is at
+                    # or beyond its own closest hit (front-to-back).
+                    done = (jnp.min(ev_ref[:], axis=1)
+                            >= jnp.min(bt_ref[:], axis=1))
+                    sel, idx, oh_b = _perray_pop(ev_ref, kio2, done)
+                    g = _perray_gather(oh_b, (ws1_ref, ws2_ref, ws3_ref),
+                                       base=None if ngroups == 1 else base)
 
-                def row(i):
-                    j = rowmap[i]
-                    return g[:, j * 128:(j + 1) * 128]
+                    def row(i):
+                        j = rowmap[i]
+                        return g[:, j * 128:(j + 1) * 128]
 
-                ts = _prim_ts_rows(cols, row, 128, types, clip,
-                                   pad_guard=True)
-                bt = bt_ref[:]
-                upd = (ts > 0.0) & (ts < bt) & sel[:, None]
-                bt_ref[:] = jnp.where(upd, ts, bt)
-                bk_ref[:] = jnp.where(upd, idx[:, None], bk_ref[:])
-                if with_cost:
-                    cc_ref[:] = cc_ref[:] + sel.astype(jnp.int32)
-                return pending()
+                    ts = _prim_ts_rows(cols, row, 128, types, clip,
+                                       pad_guard=True)
+                    bt = bt_ref[:]
+                    upd = (ts > 0.0) & (ts < bt) & sel[:, None]
+                    bt_ref[:] = jnp.where(upd, ts, bt)
+                    kglob = idx if ngroups == 1 else base + idx
+                    bk_ref[:] = jnp.where(upd, kglob[:, None], bk_ref[:])
+                    if with_cost:
+                        cc_ref[:] = cc_ref[:] + sel.astype(jnp.int32)
+                    return pending()
 
-            jax.lax.while_loop(lambda go: go, body, pending())
+                jax.lax.while_loop(lambda go: go, body, pending())
+
+            if ngroups == 1:
+                ev_ref[:] = _slab_entries_rows(bbT_ref[:, :], od)
+                inner(jnp.int32(0))
+            else:
+                # Outer: block-uniform front-to-back 128-cluster groups
+                # (same group AABBs as the block kernels' two-level
+                # entries pass), bounded by the farthest per-ray closest.
+                gent = _slab_sweep(bgT_ref[:, :], od)
+                gio = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+                def ocond(carry):
+                    return carry[1] < BIG
+
+                def obody(carry):
+                    gent, _, grp = carry
+                    ev_ref[:] = _slab_entries_rows(
+                        bbT_ref[pl.ds(grp * 8, 8), :], od,
+                        t_cap=jnp.min(bt_ref[:], axis=1))
+                    inner(grp * 128)
+                    gent = jnp.where(gio == grp, INF, gent)
+                    e_next, g_next = _pop_nearest(gent, gio)
+                    bound = jnp.max(jnp.min(bt_ref[:], axis=1))
+                    e_next = jnp.where(e_next < bound, e_next, INF)
+                    return gent, e_next, g_next
+
+                e0, g0 = _pop_nearest(gent, gio)
+                jax.lax.while_loop(ocond, obody, (gent, e0, g0))
+
             if with_cost:
                 cost_out[:] = cc_ref[:] * 128
 
@@ -917,11 +971,16 @@ def _make_closest_kernel_perray(mode, kpad, clip_on=False, with_cost=False):
 
 
 def _make_any_kernel_perray(mode, kpad, clip_on=False, with_cost=False):
+    """Per-ray any-hit; kpad > 128 selects the two-level body (see
+    _make_closest_kernel_perray). Group order is arbitrary for occlusion —
+    the outer worklist still runs front-to-back so fully-shadowed blocks
+    exit after the nearest groups."""
     rows_idx, types = mode
     rowmap = {r: j for j, r in enumerate(rows_idx)}
+    ngroups = kpad // 128
 
-    def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref, cp_ref,
-               found_out, *rest):
+    def kernel(num_k_ref, od_ref, ws1_ref, ws2_ref, ws3_ref, bbT_ref,
+               bgT_ref, cp_ref, found_out, *rest):
         if with_cost:
             cost_out, fd_ref, ev_ref, cc_ref = rest
         else:
@@ -943,33 +1002,61 @@ def _make_any_kernel_perray(mode, kpad, clip_on=False, with_cost=False):
             hi_col = t_hi[:, None]
             # Inactive lanes start as "found": they never pop work.
             fd_ref[:] = (act <= 0.0).astype(jnp.int32)
-            ev_ref[:] = _slab_entries_rows(bbT_ref[:, :], od, t_cap=t_hi)
             if with_cost:
                 cc_ref[:] = jnp.zeros((BLOCK,), jnp.int32)
-            kio2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, kpad), 1)
+            width = 128 if ngroups > 1 else kpad
+            kio2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, width), 1)
 
             def pending():
                 return jnp.any((jnp.min(ev_ref[:], axis=1) < BIG)
                                & (fd_ref[:] == 0))
 
-            def body(_go):
-                sel, idx, oh_b = _perray_pop(ev_ref, kio2, fd_ref[:] > 0)
-                g = _perray_gather(oh_b, (ws1_ref, ws2_ref, ws3_ref))
+            def inner(base):
+                def body(_go):
+                    sel, idx, oh_b = _perray_pop(ev_ref, kio2, fd_ref[:] > 0)
+                    g = _perray_gather(oh_b, (ws1_ref, ws2_ref, ws3_ref),
+                                       base=None if ngroups == 1 else base)
 
-                def row(i):
-                    j = rowmap[i]
-                    return g[:, j * 128:(j + 1) * 128]
+                    def row(i):
+                        j = rowmap[i]
+                        return g[:, j * 128:(j + 1) * 128]
 
-                ts = _prim_ts_rows(cols, row, 128, types, clip,
-                                   pad_guard=True)
-                hit = jnp.any((ts > lo_col) & (ts < hi_col) & sel[:, None],
-                              axis=1)
-                fd_ref[:] = fd_ref[:] | hit.astype(jnp.int32)
-                if with_cost:
-                    cc_ref[:] = cc_ref[:] + sel.astype(jnp.int32)
-                return pending()
+                    ts = _prim_ts_rows(cols, row, 128, types, clip,
+                                       pad_guard=True)
+                    hit = jnp.any((ts > lo_col) & (ts < hi_col)
+                                  & sel[:, None], axis=1)
+                    fd_ref[:] = fd_ref[:] | hit.astype(jnp.int32)
+                    if with_cost:
+                        cc_ref[:] = cc_ref[:] + sel.astype(jnp.int32)
+                    return pending()
 
-            jax.lax.while_loop(lambda go: go, body, pending())
+                jax.lax.while_loop(lambda go: go, body, pending())
+
+            if ngroups == 1:
+                ev_ref[:] = _slab_entries_rows(bbT_ref[:, :], od, t_cap=t_hi)
+                inner(jnp.int32(0))
+            else:
+                gent = _slab_sweep(bgT_ref[:, :], od, t_cap=t_hi)
+                gio = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+                def ocond(carry):
+                    return carry[1] < BIG
+
+                def obody(carry):
+                    gent, _, grp = carry
+                    ev_ref[:] = _slab_entries_rows(
+                        bbT_ref[pl.ds(grp * 8, 8), :], od, t_cap=t_hi)
+                    # Already-found lanes never pop (stop mask), so no
+                    # per-lane entry masking is needed here.
+                    inner(grp * 128)
+                    gent = jnp.where(gio == grp, INF, gent)
+                    e_next, g_next = _pop_nearest(gent, gio)
+                    e_next = jnp.where(jnp.min(fd_ref[:]) > 0, INF, e_next)
+                    return gent, e_next, g_next
+
+                e0, g0 = _pop_nearest(gent, gio)
+                jax.lax.while_loop(ocond, obody, (gent, e0, g0))
+
             found_out[:] = jnp.where(act > 0.0, fd_ref[:], 0)
             if with_cost:
                 cost_out[:] = cc_ref[:] * 128
@@ -1016,23 +1103,40 @@ def _gather_operands(scene, mid):
 
 def perray_supported(scene) -> bool:
     """Scenes the per-ray worklist kernels handle: a single primitive
-    type or a sphere+cylinder mix (molecule styles), one 128-cluster
-    group."""
+    type or a sphere+cylinder mix (molecule styles). One 128-cluster
+    group runs the flat per-ray body; larger scenes (up to MAX_CLUSTERS)
+    run the two-level group-outer/per-ray-inner body."""
     return (_perray_mode(scene) is not None
             and MIN_CLUSTERS <= scene.num_clusters <= PERRAY_MAX_CLUSTERS
             and scene.cluster_size == 128)
 
 
+def _group_stack_boxes(bbT):
+    """[8, kpad] lane-packed cluster AABBs -> the per-ray kernels'
+    group-stacked [ngroups*8, 128] layout (group g at sublane rows
+    g*8..g*8+8). Identity at one group."""
+    kp = bbT.shape[1]
+    ng = kp // 128
+    if ng == 1:
+        return bbT
+    return bbT.reshape(8, ng, 128).transpose(1, 0, 2).reshape(ng * 8, 128)
+
+
 def _grid_call_perray(kernel, is_closest, n_pad, k, nr, outs, od, ws, bbT,
-                      cp, interpret, with_cost=False):
+                      bgT, cp, interpret, with_cost=False):
+    """bbT here is the GROUP-STACKED box layout [ngroups*8, 128] (group g's
+    [8, 128] AABBs at sublane rows g*8..g*8+8) so the two-level kernels can
+    take a dynamic 8-aligned sublane slice per group; at one group it is
+    exactly the block kernels' [8, 128]."""
     nb = n_pad // BLOCK
     kp = _kpad(k)
+    width = 128 if kp > 128 else kp
     if is_closest:
         scratch = [pltpu.VMEM((BLOCK, 128), jnp.float32),
                    pltpu.VMEM((BLOCK, 128), jnp.int32)]
     else:
         scratch = [pltpu.VMEM((BLOCK,), jnp.int32)]
-    scratch.append(pltpu.VMEM((BLOCK, kp), jnp.float32))   # per-ray entries
+    scratch.append(pltpu.VMEM((BLOCK, width), jnp.float32))  # per-ray entries
     if with_cost:
         scratch.append(pltpu.VMEM((BLOCK,), jnp.int32))    # per-ray pops
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1043,7 +1147,8 @@ def _grid_call_perray(kernel, is_closest, n_pad, k, nr, outs, od, ws, bbT,
             pl.BlockSpec((kp, nr * 128), lambda i, s: (0, 0)),
             pl.BlockSpec((kp, nr * 128), lambda i, s: (0, 0)),
             pl.BlockSpec((kp, nr * 128), lambda i, s: (0, 0)),
-            pl.BlockSpec((8, kp), lambda i, s: (0, 0)),
+            pl.BlockSpec(((kp // 128) * 8, 128), lambda i, s: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, s: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
@@ -1057,7 +1162,7 @@ def _grid_call_perray(kernel, is_closest, n_pad, k, nr, outs, od, ws, bbT,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.array([k], jnp.int32), od, ws[0], ws[1], ws[2], bbT, cp)
+    )(jnp.array([k], jnp.int32), od, ws[0], ws[1], ws[2], bbT, bgT, cp)
 
 
 def _scene_operands(scene):
@@ -1307,7 +1412,8 @@ def trace_closest(scene, o3, d3, t_min, clip=None, active=None,
                                         _kpad(scene.num_clusters), clip_on,
                                         with_cost=with_cost),
             True, n_pad, scene.num_clusters, nr, outs,
-            od, (w1, w2, w3), bbT, cp, interpret, with_cost=with_cost)
+            od, (w1, w2, w3), _group_stack_boxes(bbT), bgT, cp, interpret,
+            with_cost=with_cost)
     else:
         out = _grid_call(
             _make_closest_kernel(_types(scene), _kpad(scene.num_clusters),
@@ -1351,7 +1457,8 @@ def trace_any(scene, o3, d3, t_min, t_max=BIG, accept_min=None, clip=None,
                                     _kpad(scene.num_clusters), clip_on,
                                     with_cost=with_cost),
             False, n_pad, scene.num_clusters, nr, outs,
-            od, (w1, w2, w3), bbT, cp, interpret, with_cost=with_cost)
+            od, (w1, w2, w3), _group_stack_boxes(bbT), bgT, cp, interpret,
+            with_cost=with_cost)
     else:
         out = _grid_call(
             _make_any_kernel(_types(scene), _kpad(scene.num_clusters),
