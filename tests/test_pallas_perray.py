@@ -77,10 +77,13 @@ def test_supported_gating(sphere_scene, cyl_scene, tri_scene):
     rows, types = PS._perray_mode(mixed)
     assert 11 in rows and types == (True, True, False)
     assert not PS.perray_supported(mixed)   # below MIN_CLUSTERS, not type
+    # Three-type mixes (cartoon/SES scenes with HETATM leftovers) use the
+    # full-mix mode: every data row, all three ptype-masked intersectors.
     tv = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
     geo = molecule_to_geometry(get_builtin_molecule("caffeine"))
     with_tris = compile_scene(geo, tri_verts=tv)
-    assert PS._perray_mode(with_tris) is None   # triangle mix
+    rows3, types3 = PS._perray_mode(with_tris)
+    assert types3 == (True, True, True) and 11 in rows3 and 7 not in rows3
 
 
 @pytest.fixture(scope="module")
@@ -207,6 +210,52 @@ def test_clip_matches_block(tri_scene):
                               interpret=True, perray=True)
     np.testing.assert_array_equal(np.asarray(rb), np.asarray(rp))
     np.testing.assert_array_equal(np.asarray(tb), np.asarray(tp))
+
+
+@pytest.fixture(scope="module")
+def trimix_scene():
+    """Cartoon-shaped mix: a triangle soup plus a handful of spheres and
+    cylinders (HETATM leftovers) — the full three-type per-ray mode."""
+    rng = np.random.default_rng(41)
+    t = 900
+    v0 = (rng.random((t, 3)).astype(np.float32) - 0.5) * 12
+    tv = np.stack([v0,
+                   v0 + rng.normal(size=(t, 3)).astype(np.float32),
+                   v0 + rng.normal(size=(t, 3)).astype(np.float32)], axis=1)
+    ns, nc = 40, 24
+    centers = (rng.random((ns, 3)).astype(np.float32) - 0.5) * 12
+    radii = (0.2 + rng.random(ns) * 0.3).astype(np.float32)
+    colors = rng.random((ns, 3)).astype(np.float32)
+    p1 = (rng.random((nc, 3)).astype(np.float32) - 0.5) * 12
+    p2 = p1 + rng.normal(size=(nc, 3)).astype(np.float32) * 0.8
+    cr = (0.08 + rng.random(nc) * 0.1).astype(np.float32)
+    cc = rng.random((nc, 3)).astype(np.float32)
+    scene = compile_scene(Geometry(centers, radii, colors, p1, p2, cr, cc),
+                          tri_verts=tv)
+    assert PS.perray_supported(scene)
+    assert PS._perray_mode(scene)[1] == (True, True, True)
+    return scene
+
+
+def test_trimix_matches_block(trimix_scene):
+    o3, d3, tmin = _ray_batch(5, 1500, spread=2.0, zoff=8.0)
+    tb, rb = PS.trace_closest(trimix_scene, o3, d3, tmin, interpret=True,
+                              perray=False)
+    tp, rp = PS.trace_closest(trimix_scene, o3, d3, tmin, interpret=True,
+                              perray=True)
+    rb_np = np.asarray(rb)
+    # Hits must land on every primitive type for the test to mean anything.
+    flat = np.asarray(trimix_scene.cluster_prims.reshape(-1, 12))
+    hit_types = set(flat[rb_np[rb_np >= 0], 11].astype(int))
+    assert hit_types == {0, 1, 2}, hit_types
+    np.testing.assert_array_equal(rb_np, np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tp))
+
+    fb = PS.trace_any(trimix_scene, o3, d3, tmin, t_max=30.0,
+                      interpret=True, perray=False)
+    fp = PS.trace_any(trimix_scene, o3, d3, tmin, t_max=30.0,
+                      interpret=True, perray=True)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fp))
 
 
 @pytest.fixture(scope="module")

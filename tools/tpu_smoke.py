@@ -179,14 +179,34 @@ def main() -> int:
         _p1, _p1 + prng.normal(size=(_nc, 3)).astype(np.float32) * 1.2,
         (0.05 + prng.random(_nc) * 0.1).astype(np.float32),
         prng.random((_nc, 3)).astype(np.float32)))).scene
+    _nt = 9000
+    _v0 = ((prng.random((_nt, 3)) - 0.5) * 30).astype(np.float32)
+    trimix_big = Renderer(compile_scene(Geometry(
+        ((prng.random((400, 3)) - 0.5) * 30).astype(np.float32),
+        (0.15 + prng.random(400) * 0.3).astype(np.float32),
+        prng.random((400, 3)).astype(np.float32),
+        _p1[:200], _p1[:200] + prng.normal(size=(200, 3)).astype(np.float32),
+        (0.05 + prng.random(200) * 0.1).astype(np.float32),
+        prng.random((200, 3)).astype(np.float32)),
+        tri_verts=np.stack([_v0,
+                            _v0 + prng.normal(size=(_nt, 3)).astype(np.float32),
+                            _v0 + prng.normal(size=(_nt, 3)).astype(np.float32)],
+                           axis=1))).scene
     for label, prs in (("10k spheres", Renderer(
             load_random_spheres(10000).scene).scene),
-                       ("sphere+cyl mixed", mixed_big)):
+                       ("sphere+cyl mixed", mixed_big),
+                       ("150k multi-group", bscene),
+                       ("tri-mix (cartoon-shaped)", trimix_big)):
         if not PS.perray_supported(prs):
             check(f"per-ray kernel support ({label})", False,
                   "perray_supported returned False")
             continue
-        o3p = tuple(jnp.asarray(o[:, i] * 2.0) for i in range(3))
+        # Scene-fitted ray batch (origins around each scene's own root).
+        plo = np.asarray(jnp.min(prs.cluster_bmin, axis=0))
+        phi = np.asarray(jnp.max(prs.cluster_bmax, axis=0))
+        pmid, pspan = (plo + phi) / 2, (phi - plo)
+        op = (pmid + (rng.random((n, 3)) - 0.5) * pspan * 1.5).astype(np.float32)
+        o3p = tuple(jnp.asarray(op[:, i]) for i in range(3))
         act = jnp.asarray(rng.random(n) < 0.5)
         tb, rb = jax.jit(lambda *a, prs=prs: PS.trace_closest(
             prs, *a, active=act, perray=False))(o3p, d3, t_min)

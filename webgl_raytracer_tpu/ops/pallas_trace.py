@@ -767,12 +767,17 @@ _PERRAY_ROWS = {
 # _prim_ts_rows' multi-type path masks each intersector on ptype, so a
 # per-ray gathered cluster may mix types freely at ~2x the gather width.
 _PERRAY_ROWS_SPH_CYL = (0, 1, 2, 3, 4, 5, 6, 11)
+# Full three-type mixes (cartoon/SES scenes carry a few HETATM
+# spheres/cylinders beside the triangle soup) gather every data row except
+# the local index and run all three ptype-masked intersectors per step —
+# ~3x the single-type step cost, worth it only where per-ray chains are
+# much shorter than block unions (the K >= PERRAY_MIN_CLUSTERS routing
+# gate).
+_PERRAY_ROWS_ALL = (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11)
 
 
 def _perray_mode(scene):
-    """(rows_idx, types) for the per-ray kernels, or None when the
-    scene's primitive mix is unsupported (any mix involving triangles —
-    three intersectors per step stops paying)."""
+    """(rows_idx, types) for the per-ray kernels."""
     types = _types(scene)
     if sum(types) == 1:
         st = (PRIM_SPHERE, PRIM_CYLINDER, PRIM_TRIANGLE)[types.index(True)]
@@ -780,7 +785,7 @@ def _perray_mode(scene):
                                   st == PRIM_TRIANGLE)
     if types[0] and types[1] and not types[2]:
         return _PERRAY_ROWS_SPH_CYL, (True, True, False)
-    return None
+    return _PERRAY_ROWS_ALL, (True, True, True)
 
 
 def _slab_entries_rows(boxT, od, t_cap=None):
