@@ -121,6 +121,15 @@ class _NpScene:
         self.sphere_count = int(scene.sphere_count)
         self.cylinder_count = int(scene.cylinder_count)
         self.prim_count = int(scene.prim_count)
+        # Per-type column indices: each intersector evaluates only its own
+        # type's columns (bit-identical — the math is elementwise per
+        # column; only wasted work over other-type columns is skipped,
+        # which on a cartoon scene of ~15k triangles + a handful of HETATM
+        # spheres/cylinders is ~3x the whole oracle).
+        pt = self.prim_type[: self.prim_count]
+        self.idx_sphere = np.nonzero(pt == PRIM_SPHERE)[0]
+        self.idx_cylinder = np.nonzero(pt == PRIM_CYLINDER)[0]
+        self.idx_triangle = np.nonzero(pt == PRIM_TRIANGLE)[0]
 
 
 def _intersect_all(sc: _NpScene, o, d, tmin, clip):
@@ -140,15 +149,14 @@ def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
     ox, oy, oz = (c[:, None] for c in o)
     dx, dy, dz = (c[:, None] for c in d)
     tmin = tmin[:, None] if np.ndim(tmin) else np.full((n, 1), tmin, np.float32)
-    pa = sc.prim_a[None, :p]
-    pb = sc.prim_b[None, :p]
-    pc = sc.prim_c[None, :p]
-    ptype = sc.prim_type[None, :p]
-    ra = pa[..., 3]
-
     t = np.full((n, p), F(-1.0))
 
+    # Each intersector sees only its own type's columns (sc.idx_*):
+    # elementwise math per column, so results are bit-identical to the
+    # full-width form while skipping other-type columns entirely.
     if sc.sphere_count:
+        pa = sc.prim_a[None, sc.idx_sphere]
+        ra = pa[..., 3]
         sx = ox - pa[..., 0]
         sy = oy - pa[..., 1]
         sz = oz - pa[..., 2]
@@ -161,9 +169,12 @@ def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
         t1 = -b + sq
         ts = np.where(t0 > tmin, t0, t1)
         ts = np.where(ok & (ts > tmin), ts, F(-1.0))
-        t = np.where(ptype == PRIM_SPHERE, ts, t)
+        t[:, sc.idx_sphere] = ts
 
     if sc.cylinder_count:
+        pa = sc.prim_a[None, sc.idx_cylinder]
+        pb = sc.prim_b[None, sc.idx_cylinder]
+        ra = pa[..., 3]
         p1 = (pa[..., 0], pa[..., 1], pa[..., 2])
         p2 = (pb[..., 0], pb[..., 1], pb[..., 2])
         av = (p2[0] - p1[0], p2[1] - p1[1], p2[2] - p1[2])
@@ -212,9 +223,12 @@ def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
         tq = np.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
         tq = np.where(okc & (tq > tmin), tq, F(-1.0))
         tc = np.where(degen, tq, tc)
-        t = np.where(ptype == PRIM_CYLINDER, tc, t)
+        t[:, sc.idx_cylinder] = tc
 
     if sc.tri_count:
+        pa = sc.prim_a[None, sc.idx_triangle]
+        pb = sc.prim_b[None, sc.idx_triangle]
+        pc = sc.prim_c[None, sc.idx_triangle]
         v0 = (pa[..., 0], pa[..., 1], pa[..., 2])
         e1 = (pb[..., 0] - v0[0], pb[..., 1] - v0[1], pb[..., 2] - v0[2])
         e2 = (pc[..., 0] - v0[0], pc[..., 1] - v0[1], pc[..., 2] - v0[2])
@@ -240,7 +254,7 @@ def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
             hz = oz + dz * tt
             s = hx * F(normal[0]) + hy * F(normal[1]) + hz * F(normal[2]) - F(offset)
             tt = np.where(s * F(side) > 0.0, F(-1.0), tt)
-        t = np.where(ptype == PRIM_TRIANGLE, tt, t)
+        t[:, sc.idx_triangle] = tt
 
     return t
 
