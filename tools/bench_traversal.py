@@ -187,7 +187,7 @@ def main() -> None:
 
     per = {k: round(v * 1000.0 / args.traces, 3) for k, v in best.items()}
     report = {
-        "scene": args.molecule or args.scene,
+        "scene": args.pdb_file or args.molecule or args.scene,
         "clusters": scene.num_clusters,
         "rays": n,
         "hit_fraction": round(hit_frac, 4),

@@ -28,6 +28,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="spheres1000")
     ap.add_argument("--molecule")
+    ap.add_argument("--pdb-file", help="PDB file (e.g. the bundled protein)")
+    ap.add_argument("--style", default="ball-and-stick")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--perray", action="store_true",
@@ -53,8 +55,15 @@ def main() -> None:
     from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
     import webgl_raytracer_tpu.ops.pallas_trace as PS
 
-    if args.molecule:
-        loaded = load_molecule_scene(get_builtin_molecule(args.molecule))
+    if args.pdb_file:
+        from webgl_raytracer_tpu.models import parse_auto_detect
+
+        with open(args.pdb_file) as f:
+            mol = parse_auto_detect(f.read(), args.pdb_file)
+        loaded = load_molecule_scene(mol, display_style=args.style)
+    elif args.molecule:
+        loaded = load_molecule_scene(get_builtin_molecule(args.molecule),
+                                     display_style=args.style)
     else:
         loaded = load_random_spheres(int(args.scene.replace("spheres", "")))
 
@@ -103,7 +112,7 @@ def main() -> None:
 
     variants = [False] + ([True] if args.perray
                           and PS.perray_supported(scene) else [])
-    report = {"scene": args.molecule or args.scene,
+    report = {"scene": args.pdb_file or args.molecule or args.scene,
               "clusters": int(scene.num_clusters),
               "rays": int(n),
               "hit_fraction": round(float(np.asarray(hit).mean()), 4),
