@@ -294,6 +294,43 @@ def _prim_ts_rows(cols, row, c, types, clip=None, pad_guard=False):
     return t
 
 
+def _prim_ts_rows_gated(cols, row, c, types, clip, sel, emit):
+    """Per-ray-gathered candidate evaluation with PER-STEP type gating:
+    each present intersector runs only when some SELECTED lane's popped
+    cluster actually contains that type (a scalar any over the gathered
+    ptype row). On a cartoon scene most pops are triangle-only, so the
+    sphere+cylinder math (the majority of the full-mix step cost) is
+    skipped dynamically. emit(ts) is called per type with other-type
+    columns at -1 — update order is irrelevant because each column
+    belongs to exactly one type.
+
+    Gating applies ONLY to the full three-type mode: splitting the merged
+    evaluation into pl.when branches changes XLA's FMA contraction by a
+    last ulp on ~10% of candidate t's (winning rows stay identical — the
+    familiar formulation-switch knife-edge noise, STATUS 'Measured perf
+    truths'). Single-type and sphere+cylinder modes keep the merged
+    single-pass form and its BIT-exactness vs the block kernels; the
+    three-type mode is new in round 3, trades that last ulp for skipping
+    the sphere+cylinder math on triangle-only steps (most cartoon pops),
+    and is equivalence-tested at exact-rows + 1e-5-relative t."""
+    if sum(types) <= 2:
+        emit(_prim_ts_rows(cols, row, c, types, clip, pad_guard=True))
+        return
+    pt = row(11)
+    sel_col = sel[:, None]
+    for flag, tcode, single in (
+            (types[0], PRIM_SPHERE, (True, False, False)),
+            (types[1], PRIM_CYLINDER, (False, True, False)),
+            (types[2], PRIM_TRIANGLE, (False, False, True))):
+        if not flag:
+            continue
+
+        @pl.when(jnp.any((pt == tcode) & sel_col))
+        def _(tcode=tcode, single=single):
+            ts = _prim_ts_rows(cols, row, c, single, clip, pad_guard=True)
+            emit(jnp.where(pt == tcode, ts, -1.0))
+
+
 def _block_entries(num_k, kpad, bbT_ref, bgT_ref, od, ev_ref, t_cap=None):
     """Fill ev_ref [1, kpad] with each cluster's nearest entry distance
     over the block's live rays (INF if nobody enters / everyone's cap is
@@ -912,13 +949,16 @@ def _make_closest_kernel_perray(mode, kpad, clip_on=False, with_cost=False):
                         j = rowmap[i]
                         return g[:, j * 128:(j + 1) * 128]
 
-                    ts = _prim_ts_rows(cols, row, 128, types, clip,
-                                       pad_guard=True)
-                    bt = bt_ref[:]
-                    upd = (ts > 0.0) & (ts < bt) & sel[:, None]
-                    bt_ref[:] = jnp.where(upd, ts, bt)
                     kglob = idx if ngroups == 1 else base + idx
-                    bk_ref[:] = jnp.where(upd, kglob[:, None], bk_ref[:])
+
+                    def emit(ts):
+                        bt = bt_ref[:]
+                        upd = (ts > 0.0) & (ts < bt) & sel[:, None]
+                        bt_ref[:] = jnp.where(upd, ts, bt)
+                        bk_ref[:] = jnp.where(upd, kglob[:, None], bk_ref[:])
+
+                    _prim_ts_rows_gated(cols, row, 128, types, clip, sel,
+                                        emit)
                     if with_cost:
                         cc_ref[:] = cc_ref[:] + sel.astype(jnp.int32)
                     return pending()
@@ -1026,11 +1066,13 @@ def _make_any_kernel_perray(mode, kpad, clip_on=False, with_cost=False):
                         j = rowmap[i]
                         return g[:, j * 128:(j + 1) * 128]
 
-                    ts = _prim_ts_rows(cols, row, 128, types, clip,
-                                       pad_guard=True)
-                    hit = jnp.any((ts > lo_col) & (ts < hi_col)
-                                  & sel[:, None], axis=1)
-                    fd_ref[:] = fd_ref[:] | hit.astype(jnp.int32)
+                    def emit(ts):
+                        hit = jnp.any((ts > lo_col) & (ts < hi_col)
+                                      & sel[:, None], axis=1)
+                        fd_ref[:] = fd_ref[:] | hit.astype(jnp.int32)
+
+                    _prim_ts_rows_gated(cols, row, 128, types, clip, sel,
+                                        emit)
                     if with_cost:
                         cc_ref[:] = cc_ref[:] + sel.astype(jnp.int32)
                     return pending()
