@@ -143,13 +143,18 @@ def _intersect_all(sc: _NpScene, o, d, tmin, clip):
     return _intersect_all_impl(sc, o, d, tmin, clip)
 
 
-def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
+def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip, xp=np):
+    """xp = numpy (eager) or jax.numpy (inside the jitted trace wrappers —
+    this machine's numpy runs the [N,P] passes at ~30M elem/s, and the
+    XLA:CPU fusion of the same expressions is ~20x faster; the math is
+    the same transliteration either way, modulo compiler FMA contraction
+    at the last ulp)."""
     n = o[0].shape[0]
     p = sc.prim_count
     ox, oy, oz = (c[:, None] for c in o)
     dx, dy, dz = (c[:, None] for c in d)
-    tmin = tmin[:, None] if np.ndim(tmin) else np.full((n, 1), tmin, np.float32)
-    t = np.full((n, p), F(-1.0))
+    tmin = tmin[:, None] if np.ndim(tmin) else xp.full((n, 1), tmin, np.float32)
+    t = xp.full((n, p), F(-1.0))
 
     # Each intersector sees only its own type's columns (sc.idx_*):
     # elementwise math per column, so results are bit-identical to the
@@ -164,12 +169,15 @@ def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
         cterm = sx * sx + sy * sy + sz * sz - ra * ra
         disc = b * b - cterm
         ok = disc >= 0.0
-        sq = np.sqrt(np.where(ok, disc, F(0.0)))
+        sq = xp.sqrt(xp.where(ok, disc, F(0.0)))
         t0 = -b - sq
         t1 = -b + sq
-        ts = np.where(t0 > tmin, t0, t1)
-        ts = np.where(ok & (ts > tmin), ts, F(-1.0))
-        t[:, sc.idx_sphere] = ts
+        ts = xp.where(t0 > tmin, t0, t1)
+        ts = xp.where(ok & (ts > tmin), ts, F(-1.0))
+        if xp is np:
+            t[:, sc.idx_sphere] = ts
+        else:
+            t = t.at[:, sc.idx_sphere].set(ts)
 
     if sc.cylinder_count:
         pa = sc.prim_a[None, sc.idx_cylinder]
@@ -178,9 +186,9 @@ def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
         p1 = (pa[..., 0], pa[..., 1], pa[..., 2])
         p2 = (pb[..., 0], pb[..., 1], pb[..., 2])
         av = (p2[0] - p1[0], p2[1] - p1[1], p2[2] - p1[2])
-        height = np.sqrt(_dot(av, av))
+        height = xp.sqrt(_dot(av, av))
         degen = height < F(1e-6)
-        inv_h = F(1.0) / np.where(degen, F(1.0), height)
+        inv_h = F(1.0) / xp.where(degen, F(1.0), height)
         ax = (av[0] * inv_h, av[1] * inv_h, av[2] * inv_h)
         oc = (ox - p1[0], oy - p1[1], oz - p1[2])
         dir_dot = dx * ax[0] + dy * ax[1] + dz * ax[2]
@@ -192,38 +200,41 @@ def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
         c_q = _dot(op, op) - ra * ra
         disc = b_q * b_q - F(4.0) * a_q * c_q
         okq = (a_q > F(1e-8)) & (disc >= 0.0)
-        sq = np.sqrt(np.where(okq, disc, F(0.0)))
-        den = np.where(okq, F(2.0) * a_q, F(1.0))
+        sq = xp.sqrt(xp.where(okq, disc, F(0.0)))
+        den = xp.where(okq, F(2.0) * a_q, F(1.0))
         t1c = (-b_q - sq) / den
         t2c = (-b_q + sq) / den
         h1 = oc_dot + t1c * dir_dot
         h2 = oc_dot + t2c * dir_dot
         ok1 = okq & (t1c > tmin) & (h1 >= 0.0) & (h1 <= height)
         ok2 = okq & ~ok1 & (t2c > tmin) & (h2 >= 0.0) & (h2 <= height)
-        tc = np.where(ok1, t1c, np.where(ok2, t2c, F(-1.0)))
+        tc = xp.where(ok1, t1c, xp.where(ok2, t2c, F(-1.0)))
         for cap, sign in ((p1, F(-1.0)), (p2, F(1.0))):
             q = (ox - cap[0], oy - cap[1], oz - cap[2])
             bq = q[0] * dx + q[1] * dy + q[2] * dz
             cq = _dot(q, q) - ra * ra
             dq = bq * bq - cq
             okc = dq >= 0.0
-            sqc = np.sqrt(np.where(okc, dq, F(0.0)))
-            tq = np.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
-            tq = np.where(okc & (tq > tmin), tq, F(-1.0))
+            sqc = xp.sqrt(xp.where(okc, dq, F(0.0)))
+            tq = xp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
+            tq = xp.where(okc & (tq > tmin), tq, F(-1.0))
             h = ((q[0] + dx * tq) * ax[0] + (q[1] + dy * tq) * ax[1]
                  + (q[2] + dz * tq) * ax[2])
             better = (tq > tmin) & ((tc < 0.0) | (tq < tc)) & ((h * sign) >= 0.0)
-            tc = np.where(better, tq, tc)
+            tc = xp.where(better, tq, tc)
         q = (ox - p1[0], oy - p1[1], oz - p1[2])
         bq = q[0] * dx + q[1] * dy + q[2] * dz
         cq = _dot(q, q) - ra * ra
         dq = bq * bq - cq
         okc = dq >= 0.0
-        sqc = np.sqrt(np.where(okc, dq, F(0.0)))
-        tq = np.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
-        tq = np.where(okc & (tq > tmin), tq, F(-1.0))
-        tc = np.where(degen, tq, tc)
-        t[:, sc.idx_cylinder] = tc
+        sqc = xp.sqrt(xp.where(okc, dq, F(0.0)))
+        tq = xp.where(-bq - sqc > tmin, -bq - sqc, -bq + sqc)
+        tq = xp.where(okc & (tq > tmin), tq, F(-1.0))
+        tc = xp.where(degen, tq, tc)
+        if xp is np:
+            t[:, sc.idx_cylinder] = tc
+        else:
+            t = t.at[:, sc.idx_cylinder].set(tc)
 
     if sc.tri_count:
         pa = sc.prim_a[None, sc.idx_triangle]
@@ -236,8 +247,8 @@ def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
         py = dz * e2[0] - dx * e2[2]
         pz = dx * e2[1] - dy * e2[0]
         det = e1[0] * px + e1[1] * py + e1[2] * pz
-        okt = np.abs(det) >= F(1e-6)
-        inv = F(1.0) / np.where(okt, det, F(1.0))
+        okt = xp.abs(det) >= F(1e-6)
+        inv = F(1.0) / xp.where(okt, det, F(1.0))
         tv = (ox - v0[0], oy - v0[1], oz - v0[2])
         u = (tv[0] * px + tv[1] * py + tv[2] * pz) * inv
         qx = tv[1] * e1[2] - tv[2] * e1[1]
@@ -246,40 +257,124 @@ def _intersect_all_impl(sc: _NpScene, o, d, tmin, clip):
         v = (dx * qx + dy * qy + dz * qz) * inv
         tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv
         okt &= (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > tmin)
-        tt = np.where(okt, tt, F(-1.0))
+        tt = xp.where(okt, tt, F(-1.0))
         if clip is not None:
             normal, offset, side = clip
             hx = ox + dx * tt
             hy = oy + dy * tt
             hz = oz + dz * tt
             s = hx * F(normal[0]) + hy * F(normal[1]) + hz * F(normal[2]) - F(offset)
-            tt = np.where(s * F(side) > 0.0, F(-1.0), tt)
-        t[:, sc.idx_triangle] = tt
+            tt = xp.where(s * F(side) > 0.0, F(-1.0), tt)
+        if xp is np:
+            t[:, sc.idx_triangle] = tt
+        else:
+            t = t.at[:, sc.idx_triangle].set(tt)
 
     return t
 
 
+# The [N, P] brute-force trace dominates the oracle's runtime, and this
+# machine's single-core numpy runs it at ~30M elem/s — so the trace
+# functions are jitted through XLA:CPU (pinned to the host backend: the
+# full parity run has the DEVICE integrator on TPU in the same process,
+# and the oracle must stay on the CPU). The [N, P] matrix never leaves
+# the jit; only [N] results do. WRT_ORACLE_NUMPY=1 restores the pure
+# numpy path (same transliterated math; XLA's FMA contraction differs in
+# the last ulp, which the parity metric's flip accounting absorbs).
+_JIT_TRACE_CACHE: dict = {}
+
+
+def _oracle_numpy() -> bool:
+    import os
+
+    return os.environ.get("WRT_ORACLE_NUMPY") == "1"
+
+
+def _clip_static(clip):
+    if clip is None:
+        return None
+    normal, offset, side = clip
+    return ((float(normal[0]), float(normal[1]), float(normal[2])),
+            float(offset), float(side))
+
+
+def _jit_trace(sc: _NpScene, n: int, clip, kind: str):
+    import jax
+    import jax.numpy as jnp
+
+    key = (id(sc), n, _clip_static(clip), kind)
+    fn = _JIT_TRACE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    clip_c = _clip_static(clip)
+
+    if kind == "closest":
+        def run(o, d, tmin, mask):
+            tall = _intersect_all_impl(sc, o, d, tmin, clip_c, xp=jnp)
+            valid = (tall > 0.0) & mask[:, None]
+            tm = jnp.where(valid, tall, BIG)
+            row = jnp.argmin(tm, axis=1).astype(jnp.int32)
+            tbest = tm[jnp.arange(tm.shape[0]), row]
+            hit = tbest < BIG
+            return (jnp.where(hit, tbest, BIG),
+                    jnp.where(hit, row, -1))
+    else:
+        def run(o, d, tmin, accept_lo, t_hi, mask):
+            tall = _intersect_all_impl(sc, o, d, tmin, clip_c, xp=jnp)
+            ok = (tall > accept_lo[:, None]) & (tall < t_hi[:, None])
+            return jnp.any(ok, axis=1) & mask
+
+    jitted = jax.jit(run)
+    _JIT_TRACE_CACHE[key] = jitted
+    return jitted
+
+
+def _on_cpu(fn, *args):
+    """Run a jitted oracle trace pinned to the host backend: the full
+    parity run has the device integrator on the TPU in the same process,
+    and the oracle must neither contend for the chip nor pick up its
+    arithmetic."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return fn(*args)
+
+
 def trace_closest(sc: _NpScene, o, d, tmin, clip, mask=None):
-    """Closest hit: (t [N], prim_row [N] with -1 miss, u, v, cyl hit_type)."""
-    tall = _intersect_all(sc, o, d, np.broadcast_to(F(tmin), o[0].shape).astype(np.float32), clip)
-    valid = tall > 0.0
-    if mask is not None:
-        valid &= mask[:, None]
-    tm = np.where(valid, tall, BIG)
-    row = np.argmin(tm, axis=1).astype(np.int32)
-    tbest = tm[np.arange(tm.shape[0]), row]
-    hit = tbest < BIG
-    row = np.where(hit, row, -1)
-    return np.where(hit, tbest, BIG), row
+    """Closest hit: (t [N], prim_row [N] with -1 miss)."""
+    n = o[0].shape[0]
+    tmin_b = np.broadcast_to(F(tmin), o[0].shape).astype(np.float32)
+    if _oracle_numpy():
+        tall = _intersect_all(sc, o, d, tmin_b, clip)
+        valid = tall > 0.0
+        if mask is not None:
+            valid &= mask[:, None]
+        tm = np.where(valid, tall, BIG)
+        row = np.argmin(tm, axis=1).astype(np.int32)
+        tbest = tm[np.arange(tm.shape[0]), row]
+        hit = tbest < BIG
+        row = np.where(hit, row, -1)
+        return np.where(hit, tbest, BIG), row
+    m = np.ones(n, bool) if mask is None else np.asarray(mask, bool)
+    t, row = _on_cpu(_jit_trace(sc, n, clip, "closest"), o, d, tmin_b, m)
+    return np.asarray(t), np.asarray(row)
 
 
 def trace_any(sc: _NpScene, o, d, tmin, clip, accept_lo, t_hi, mask=None):
-    tall = _intersect_all(sc, o, d, np.broadcast_to(F(tmin), o[0].shape).astype(np.float32), clip)
-    ok = (tall > accept_lo[:, None]) & (tall < t_hi[:, None])
-    found = np.any(ok, axis=1)
-    if mask is not None:
-        found &= mask
-    return found
+    n = o[0].shape[0]
+    tmin_b = np.broadcast_to(F(tmin), o[0].shape).astype(np.float32)
+    if _oracle_numpy():
+        tall = _intersect_all(sc, o, d, tmin_b, clip)
+        ok = (tall > accept_lo[:, None]) & (tall < t_hi[:, None])
+        found = np.any(ok, axis=1)
+        if mask is not None:
+            found &= mask
+        return found
+    m = np.ones(n, bool) if mask is None else np.asarray(mask, bool)
+    lo = np.broadcast_to(np.asarray(accept_lo, np.float32), (n,))
+    hi = np.broadcast_to(np.asarray(t_hi, np.float32), (n,))
+    return np.asarray(_on_cpu(_jit_trace(sc, n, clip, "any"),
+                              o, d, tmin_b, lo, hi, m))
 
 
 # --------------------------------------------------------------------------
