@@ -665,13 +665,31 @@ def _march_volume(vol, o, d, t_surface, u, flags, throughput, radiance, alive):
 # --------------------------------------------------------------------------
 # The transport (webgl.js:1173-1441 tracePath + :1508-1549 main).
 
+# _NpScene per scene OBJECT: render_batch_oracle is called once per
+# chunk-frame, and a fresh _NpScene each call gave the jitted traces a
+# fresh cache key — thousands of LLVM compiles per 256-frame glass row,
+# which eventually died with "LLVM compilation error: Cannot allocate
+# memory" (JIT code mappings never unload). Strong refs are intentional:
+# a dozen scenes per parity run, and holding them keeps id() unique.
+_NPSCENE_CACHE: dict = {}
+
+
+def _np_scene(scene) -> _NpScene:
+    hit = _NPSCENE_CACHE.get(id(scene))
+    if hit is not None and hit[0] is scene:
+        return hit[1]
+    sc = _NpScene(scene)
+    _NPSCENE_CACHE[id(scene)] = (scene, sc)
+    return sc
+
+
 def render_batch_oracle(scene, env, vol, flags, u, px, py, frame_index):
     """One progressive frame: the exact reference estimator, per pixel.
 
     Mirrors render/integrator.render_batch's signature; returns [N,3] f32
     color with exposure applied (webgl.js:1520-1549).
     """
-    sc = _NpScene(scene)
+    sc = _np_scene(scene)
     np_env = _NpEnv(env) if (flags.use_env and env is not None) else None
     np_vol = _NpVol(vol) if (flags.volume_enabled and vol is not None) else None
     px = np.asarray(px)
