@@ -1417,9 +1417,21 @@ PERRAY_MIN_CLUSTERS = 64
 
 
 def perray_auto_secondary(scene) -> bool:
-    """Should a SECONDARY-bounce closest trace use the per-ray kernels?"""
-    return (perray_supported(scene)
-            and scene.num_clusters >= PERRAY_MIN_CLUSTERS)
+    """Should a SECONDARY-bounce closest trace use the per-ray kernels?
+
+    The single-group single-type/sph+cyl modes are measured winners
+    on-chip (2.0-2.25x at K=127). The two-level (>128 clusters) and
+    three-type bodies are interpret-validated but NOT yet raced on real
+    hardware, so they are opt-in (WRT_PERRAY_MULTI=1, or WRT_PERRAY=1
+    per trace) until tools/tpu_smoke.py + bench_traversal.py pass on
+    them — a Mosaic rejection or a regression inside the production
+    frame would be far worse than the block-kernel fallback."""
+    if not (perray_supported(scene)
+            and scene.num_clusters >= PERRAY_MIN_CLUSTERS):
+        return False
+    proven = (_kpad(scene.num_clusters) <= 128
+              and sum(_perray_mode(scene)[1]) <= 2)
+    return proven or os.environ.get("WRT_PERRAY_MULTI") == "1"
 
 
 def _use_perray(scene, perray):
