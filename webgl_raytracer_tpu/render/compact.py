@@ -1,0 +1,129 @@
+"""Per-lane live-ray compaction for the post-primary transport.
+
+After the primary trace only ~hit-fraction of the frame's rays do any
+further work (secondary bounces, the 3-light batched shadow trace, env
+NEE), but the transport runs full-width: traversal blocks and shading
+lanes sit at 10-25% occupancy even after the block-granular hit-first
+permutation (integrator._tile_permutation). This module packs the live
+lanes DENSELY into a capped buffer so every downstream launch runs at
+~100% lane occupancy — the work-proportional counterpart of the
+reference's per-pixel early exit (webgl.js:1173-1186 terminates each
+pixel's loop independently; a lock-step vector machine has to compact
+instead).
+
+Only movement primitives measured fast on TPU v5e are used
+(tools/compact_cost.py, 1080p, round 3):
+
+  forward:  stable live-first lane order via argsort of the miss mask
+            (3.7 ms) + ONE [cap, 16] packed row gather (4.2 ms). The
+            9 per-array lane gathers this replaces cost ~30 ms, and a
+            full-width per-lane permutation ~144 ms — the round-2
+            reason per-lane compaction was first rejected.
+  inverse:  a live lane's compact position is cumsum(live)-1 — MONOTONE,
+            so each 128-lane group's radiance lives in a <=129-wide
+            window of the compact buffer: one [g, 256, 4] window gather
+            + a one-hot [128, 256] x [256, 4] MXU matmul per group
+            (1.6 ms) replaces the 13.9 ms row scatter (which no
+            sorted/unique scatter hint improves).
+
+The cap bounds the dense buffer; the integrator falls back to the
+block-permutation path via lax.cond when a frame's live count exceeds
+it (both branches compile; one executes per frame). The dense buffer is
+scanned in CHUNK-ray chunks with an all-dead cond skip, so the padding
+between n_live and cap costs ~nothing.
+
+Measured on TPU v5e round 3 (tools/bench_compact.py, 1080p, full-matrix
+subprocess race): the payoff scales with per-sweep cost, so routing is
+by cluster count (integrator.COMPACT_MIN_CLUSTERS). 10000 spheres
+(K=127, hit 8.2%): permuted 447.9 ms/frame; compact cap=n/8 wins at
+every chunk size, best 389.6 at chunk 65536 (1.15x; cap=n/12 hit 389.0
+but sits within 2% of that scene's live count — fallback cliff — so n/8
+is the default). 1000 spheres (K=10, hit 4.7%): compact LOSES at every
+knob (best 117.2 vs 112.7 permuted at _PERM_BLOCK=32) — cheap [1024,128]
+sweeps don't repay the pack/expand moves, so low-K scenes keep the block
+permutation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+WINDOW = 256  # expansion window: >= 128 group lanes + 1 straddle row
+CHUNK = 65536  # dense-buffer scan chunk (64 Pallas trace blocks; raced)
+
+
+def compact_cap(n: int, div: int = 8) -> tuple[int, int]:
+    """Static live-buffer capacity and scan-chunk size: n/div rounded up
+    to a 1024 multiple (the Pallas trace BLOCK, so the dense prefix tiles
+    exactly), then to a whole number of scan chunks."""
+    import os
+
+    raw = max(1024, -(-(n // div) // 1024) * 1024)
+    chunk = min(int(os.environ.get("WRT_COMPACT_CHUNK") or CHUNK), raw)
+    cap = -(-raw // chunk) * chunk
+    return cap, chunk
+
+
+def live_first_index(live, cap: int):
+    """[cap] i32 lane ids: the live lanes in ascending order, then
+    (arbitrary, valid) miss-lane ids as padding. Stable argsort keeps
+    the order consistent with cumsum(live)-1, which expand_triple
+    relies on."""
+    return jnp.argsort(~live, stable=True)[:cap]
+
+
+def _as_f32_bits(c):
+    if c.dtype == jnp.float32:
+        return c
+    return jax.lax.bitcast_convert_type(c, jnp.float32)
+
+
+def pack_rows(cols):
+    """S [n] arrays (f32 or bit-cast u32/i32) -> ONE [n, 16] f32 row
+    matrix, so the compaction gather moves 64-byte rows instead of
+    paying 9x per-index overhead on separate [n] gathers."""
+    f32 = [_as_f32_bits(c) for c in cols]
+    assert len(f32) <= 16
+    f32 += [jnp.zeros_like(f32[0])] * (16 - len(f32))
+    return jnp.stack(f32, axis=1)
+
+
+def gather_rows(packed, idx):
+    """[cap, 16] <- packed[idx]; idx from live_first_index is sorted and
+    unique (hints let XLA skip bounds/dedup work)."""
+    return jnp.take(packed, idx, axis=0, unique_indices=True,
+                    indices_are_sorted=True)
+
+
+def expand_triple(compact_triple, live):
+    """Inverse move: a [cap] component triple accumulated in compact
+    order -> [n] triple in lane order (zeros on dead lanes).
+
+    pos = cumsum(live)-1 is monotone, so the compact rows feeding input
+    group g all sit in rows [base_g, base_g+129) of the buffer: gather
+    that window once per group and select each lane's row with a one-hot
+    MXU matmul (Precision.HIGHEST: one-hot selection is exact in the
+    3-pass f32 decomposition; default-precision bf16 passes would
+    truncate the radiance)."""
+    n = live.shape[0]
+    g = n // 128
+    cap = compact_triple[0].shape[0]
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    posg = pos.reshape(g, 128)
+    base = jnp.maximum(posg[:, 0], 0)
+    win_idx = (base[:, None]
+               + jnp.arange(WINDOW, dtype=jnp.int32)[None, :]) % cap
+    rows = jnp.stack(list(compact_triple)
+                     + [jnp.zeros_like(compact_triple[0])], axis=1)
+    win = jnp.take(rows, win_idx, axis=0)                # [g, 256, 4]
+    rel = posg - base[:, None]                           # [g, 128] 0..129
+    onehot = (rel[:, :, None]
+              == jnp.arange(WINDOW, dtype=jnp.int32)[None, None, :]
+              ).astype(jnp.float32)
+    out = jax.lax.dot_general(
+        onehot, win, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [g, 128, 4]
+    out = jnp.where(live.reshape(g, 128)[:, :, None], out, 0.0)
+    return tuple(out[:, :, c].reshape(n) for c in range(3))

@@ -300,17 +300,19 @@ def _ggx_eval(sn, v, l, rough, f0):
 
 
 def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=False,
-                first_rec=None, first_attrs=None):
+                first_rec=None, first_attrs=None, alive0=None):
     """Full path trace for a flat ray batch (component-form rays).
 
     origin0/dir0: component triples of [B]. `first_rec` optionally supplies
     a precomputed bounce-0 closest-hit record (the compaction path traces
     primaries for the full frame, partitions rays hit-first, then runs the
     rest of the transport on the compacted order); `first_attrs` its
-    in-kernel attribute rows when the attrs path is live. Returns (radiance
-    triple, seed) or with stats (radiance, seed, (path_rays, occl_rays)):
-    path_rays counts closest-hit extension segments (camera + bounces),
-    occl_rays counts any-hit shadow/env-NEE candidate rays."""
+    in-kernel attribute rows when the attrs path is live; `alive0` an
+    initial liveness mask (the per-lane compaction path marks its padding
+    lanes dead so they neither shade nor count in the ray stats). Returns
+    (radiance triple, seed) or with stats (radiance, seed, (path_rays,
+    occl_rays)): path_rays counts closest-hit extension segments (camera +
+    bounces), occl_rays counts any-hit shadow/env-NEE candidate rays."""
     n = origin0[0].shape[0]
     bias = jnp.maximum(u.ray_bias, 1e-4)
     clip = _clip_tuple(flags, u)
@@ -628,7 +630,7 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
         ones, ones.copy(), ones.copy(),
         zeros, zeros.copy(), zeros.copy(),
         jnp.zeros((n,), jnp.float32),
-        jnp.ones((n,), bool),
+        jnp.ones((n,), bool) if alive0 is None else alive0,
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
@@ -754,12 +756,13 @@ def _hit_first_permutation(hit):
     return perm, inv
 
 
-# Compaction granularity: rays move between chunks in contiguous blocks of
-# this size. Per-lane permutation gathers are random access — the TPU's
-# slow path, measured ~250ms/frame at 1080p — while whole-block moves are
-# contiguous DMA rows. The renderer's pixel order is 16x16 screen tiles, so
-# hits are coherent at this granularity anyway.
-_PERM_BLOCK = 256
+# Block-permutation granularity: rays move in contiguous blocks of this
+# size (per-lane permutation gathers are the TPU's slow path). Raced on
+# TPU v5e round 3 (tools/tune_knobs.py, 1000-sphere 1080p): 256 -> 129.3,
+# 128 -> 123.4, 64 -> 121.3, 32 -> 116.5, 16 -> 118.4, 8 -> 123.5 ms/frame
+# — finer blocks pack live lanes denser and the shorter gather rows stay
+# cheap down to 32 lanes, below which sub-vreg row moves eat the gain.
+_PERM_BLOCK = 32
 
 
 def _tile_permutation(hit, g):
@@ -792,6 +795,142 @@ def _use_megakernel(scene, env, vol, flags):
 
     return PP.supports(scene, flags, env, vol) and (
         jax.default_backend() == "tpu" or pallas_forced_interpret())
+
+
+# Cluster count from which the compacted transport beats the block
+# permutation. Raced on TPU v5e (tools/bench_compact.py, 1080p, round 3):
+# at K=10 (1000 spheres) compact LOSES everywhere (best 117.2 vs 112.7 ms
+# permuted at _PERM_BLOCK=32 — with cheap sweeps the pack/expand moves
+# exceed the occupancy win); at K=127 (10000 spheres) it wins 1.15x
+# (389.6 vs 447.9 ms) because each dense block replaces several
+# quarter-occupied expensive union sweeps. Same shape as the per-ray
+# routing threshold (pallas_trace.PERRAY_MIN_CLUSTERS) and for the same
+# reason: the payoff scales with per-sweep cost.
+COMPACT_MIN_CLUSTERS = 64
+
+
+def _use_compact(scene, flags, n) -> bool:
+    """Route the post-primary transport through per-lane live-ray
+    compaction (render/compact.py): pack the primary-hit lanes densely
+    into a capped buffer so secondary traces, the 3-light shadow batch,
+    env NEE, and shading all run at ~100% lane occupancy instead of the
+    block permutation's 10-25%. Auto-enabled on cluster-rich scenes
+    (>= COMPACT_MIN_CLUSTERS, where sweeps are expensive enough to pay
+    for the pack/expand moves). WRT_COMPACT=1 forces on, =0 forces off
+    (A/B against the block-permutation path); WRT_COMPACT_CAP_DIV tunes
+    the cap (n/div). Volume frames keep the permuted path: the bounce-0
+    march must run on miss lanes too, which the compact buffer excludes
+    by design."""
+    import os
+
+    env = os.environ.get("WRT_COMPACT")
+    if env == "0":
+        return False
+    if flags.distributed or flags.volume_enabled:
+        return False
+    if flags.tracer != "wavefront" or not flags.use_bvh:
+        return False
+    if n % 1024 != 0:
+        return False
+    return env == "1" or scene.num_clusters >= COMPACT_MIN_CLUSTERS
+
+
+def _compacted_transport(scene, env, vol, flags, u, seed, origin, direction,
+                         rec0, clip, with_stats, fallback_fn):
+    """Dense post-primary transport: bounce-0 miss radiance is computed
+    full-width in pixel order (throughput = 1, MIS weight 1 — exactly
+    webgl.js:1223-1235 at bounce 0), the hit lanes are packed into a
+    [cap] buffer (one [cap, 16] row gather), the bounce loop runs as a
+    chunk scan over the dense buffer (all-dead padding chunks skip via
+    cond), and the accumulated radiance is expanded back to pixel order
+    with the window-gather + one-hot-MXU move. Falls back to the
+    block-permutation transport via lax.cond when the frame's live count
+    exceeds the cap (close-up scenes covering > 1/div of the screen) —
+    both branches compile, one executes."""
+    import os
+
+    from ..ops.wavefront import _finalize_hit
+    from . import compact as CP
+
+    n = origin[0].shape[0]
+    hit = rec0.prim_slot >= 0
+    n_live = jnp.sum(hit.astype(jnp.int32))
+    div = int(os.environ.get("WRT_COMPACT_CAP_DIV") or 8)
+    cap, csize = CP.compact_cap(n, div)
+
+    def dense(_):
+        amb = V.splat(u.ambient_color)
+        env_contrib = V.scale(amb, u.ambient_intensity)
+        env_contrib = tuple(jnp.broadcast_to(c, (n,)) for c in env_contrib)
+        if flags.use_env:
+            env_contrib = V.add(env_contrib, sample_env_radiance_v3(
+                env, direction, u.env_intensity, u.env_max_luminance))
+        miss_rad = V.where(~hit, env_contrib, V.zeros_like(env_contrib[0]))
+        miss_rad = V.min_with(miss_rad, RADIANCE_CLAMP)
+
+        idx = CP.live_first_index(hit, cap)
+        packed = CP.pack_rows([seed] + list(origin) + list(direction)
+                              + [rec0.t, rec0.prim_slot])
+        rows = CP.gather_rows(packed, idx)
+        alive0 = jnp.arange(cap, dtype=jnp.int32) < n_live
+
+        def chunk_fn(args):
+            rows_k, alive_k = args
+
+            def body(_):
+                seed_k = jax.lax.bitcast_convert_type(rows_k[:, 0],
+                                                      jnp.uint32)
+                o3k = (rows_k[:, 1], rows_k[:, 2], rows_k[:, 3])
+                d3k = (rows_k[:, 4], rows_k[:, 5], rows_k[:, 6])
+                t_k = rows_k[:, 7]
+                slot_k = jax.lax.bitcast_convert_type(rows_k[:, 8],
+                                                      jnp.int32)
+                slot_k = jnp.where(alive_k, slot_k, -1)
+                tmin_k = jnp.broadcast_to(u.t_min, (csize,)).astype(
+                    jnp.float32)
+                rec_k = _finalize_hit(scene, o3k, d3k, tmin_k, clip, t_k,
+                                      slot_k, cost=jnp.zeros_like(slot_k),
+                                      refine_sphere_t=True)
+                out = trace_paths(scene, env, vol, flags, u, o3k, d3k,
+                                  seed_k, with_stats=with_stats,
+                                  first_rec=rec_k, alive0=alive_k)
+                if with_stats:
+                    return V.to_array(out[0]), out[2]
+                return V.to_array(out[0])
+
+            def dead(_):
+                zc = jnp.zeros((csize, 3), jnp.float32)
+                if with_stats:
+                    z = jnp.zeros((), jnp.int32)
+                    return zc, (z, z.copy())
+                return zc
+
+            return jax.lax.cond(jnp.any(alive_k), body, dead, None)
+
+        out = jax.lax.map(chunk_fn, (rows.reshape(cap // csize, csize, 16),
+                                     alive0.reshape(cap // csize, csize)))
+        colors = out[0] if with_stats else out
+        rad_c = V.from_array(colors.reshape(cap, 3))
+        exp = CP.expand_triple(rad_c, hit)
+        radiance = V.add(miss_rad, exp)
+        if with_stats:
+            npath, noccl = jax.tree_util.tree_map(jnp.sum, out[1])
+            # trace_paths counted n_live camera rays (its alive0 lanes);
+            # the miss lanes' camera rays happened in the full-width
+            # primary trace.
+            return radiance, (npath + (n - n_live), noccl)
+        return radiance
+
+    def fallback(_):
+        out = fallback_fn()
+        if with_stats:
+            return out[0], out[2]
+        return out[0]
+
+    out = jax.lax.cond(n_live <= cap, dense, fallback, None)
+    if with_stats:
+        return out[0], seed, out[1]
+    return out, seed
 
 
 def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
@@ -844,6 +983,26 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
     else:
         rec0 = _closest_hit(scene, flags, origin, direction, u.t_min, clip,
                             full_record=not slim0)
+
+    def _permuted_transport():
+        return _run_permuted(scene, env, vol, flags, u, seed, origin,
+                             direction, rec0, attrs0, use_attrs, slim0,
+                             clip, chunks, with_stats)
+
+    if slim0 and not use_attrs and _use_compact(scene, flags, n):
+        return _compacted_transport(scene, env, vol, flags, u, seed, origin,
+                                    direction, rec0, clip, with_stats,
+                                    _permuted_transport)
+
+    return _permuted_transport()
+
+
+def _run_permuted(scene, env, vol, flags, u, seed, origin, direction,
+                  rec0, attrs0, use_attrs, slim0, clip, chunks, with_stats):
+    """The block-permutation + chunk-scan transport (the pre-compaction
+    path, still used for distributed/volume frames and as the lax.cond
+    fallback when a frame's live count exceeds the compaction cap)."""
+    n = origin[0].shape[0]
     size = n // chunks
     import os
     if os.environ.get("WRT_NO_PERM"):
