@@ -128,6 +128,35 @@ def test_frame_compact_chunked_bit_identical(frame_env):
     np.testing.assert_array_equal(img_c, img_p)
 
 
+def test_frame_wavefront_bit_identical(frame_env):
+    """The bounce-major wavefront transport (per-bounce live-ray
+    re-compaction) must reproduce the permuted frame. Radiance is
+    reassociated (per-bounce deposits instead of one running carry), but
+    every deposit moves exact f32 bits and the measured result is
+    bit-identical on CPU; assert exact to catch any real drift."""
+    img_w = frame_env({"WRT_WAVEFRONT": "1", "WRT_COMPACT": "0"})
+    img_p = frame_env({"WRT_WAVEFRONT": "0", "WRT_COMPACT": "0"})
+    assert np.isfinite(img_w).all() and img_w.max() > 0.0
+    np.testing.assert_array_equal(img_w, img_p)
+
+
+def test_frame_wavefront_fallback_when_cap_exceeded(frame_env):
+    img_f = frame_env({"WRT_WAVEFRONT": "1", "WRT_WF_CAP_DIV": "4096",
+                       "WRT_COMPACT": "0"})
+    img_p = frame_env({"WRT_WAVEFRONT": "0", "WRT_COMPACT": "0"})
+    np.testing.assert_array_equal(img_f, img_p)
+
+
+def test_frame_wavefront_repack_knob(frame_env):
+    """WRT_WF_REPACKS bounds how many bounce ends re-pack; any value must
+    leave the frame unchanged (dead lanes deposit zeros in place)."""
+    img_p = frame_env({"WRT_WAVEFRONT": "0", "WRT_COMPACT": "0"})
+    for k in ("0", "1"):
+        img = frame_env({"WRT_WAVEFRONT": "1", "WRT_WF_REPACKS": k,
+                         "WRT_COMPACT": "0"})
+        np.testing.assert_array_equal(img, img_p)
+
+
 def test_ray_stats_agree_across_transports(frame_env):
     """total/path ray accounting must not depend on the transport
     formulation (bench.py's metric rides on these counters)."""
@@ -166,3 +195,5 @@ def test_ray_stats_agree_across_transports(frame_env):
                 del os.environ[k]
 
     assert stats({"WRT_COMPACT": "1"}) == stats({"WRT_COMPACT": "0"})
+    assert (stats({"WRT_WAVEFRONT": "1", "WRT_COMPACT": "0"})
+            == stats({"WRT_COMPACT": "0"}))

@@ -96,9 +96,10 @@ def gather_rows(packed, idx):
                     indices_are_sorted=True)
 
 
-def expand_triple(compact_triple, live):
-    """Inverse move: a [cap] component triple accumulated in compact
-    order -> [n] triple in lane order (zeros on dead lanes).
+def expand_cols(cols, live):
+    """Inverse move: 1..4 [cap] f32 columns accumulated in compact
+    (live-first, order-preserving) order -> full-order columns (zeros on
+    dead lanes). The k-th set bit of `live` reads compact row k.
 
     pos = cumsum(live)-1 is monotone, so the compact rows feeding input
     group g all sit in rows [base_g, base_g+129) of the buffer: gather
@@ -106,16 +107,18 @@ def expand_triple(compact_triple, live):
     MXU matmul (Precision.HIGHEST: one-hot selection is exact in the
     3-pass f32 decomposition; default-precision bf16 passes would
     truncate the radiance)."""
+    ncols = len(cols)
+    assert 1 <= ncols <= 4
     n = live.shape[0]
     g = n // 128
-    cap = compact_triple[0].shape[0]
+    cap = cols[0].shape[0]
     pos = jnp.cumsum(live.astype(jnp.int32)) - 1
     posg = pos.reshape(g, 128)
     base = jnp.maximum(posg[:, 0], 0)
     win_idx = (base[:, None]
                + jnp.arange(WINDOW, dtype=jnp.int32)[None, :]) % cap
-    rows = jnp.stack(list(compact_triple)
-                     + [jnp.zeros_like(compact_triple[0])], axis=1)
+    rows = jnp.stack(list(cols) + [jnp.zeros_like(cols[0])] * (4 - ncols),
+                     axis=1)
     win = jnp.take(rows, win_idx, axis=0)                # [g, 256, 4]
     rel = posg - base[:, None]                           # [g, 128] 0..129
     onehot = (rel[:, :, None]
@@ -126,4 +129,9 @@ def expand_triple(compact_triple, live):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)             # [g, 128, 4]
     out = jnp.where(live.reshape(g, 128)[:, :, None], out, 0.0)
-    return tuple(out[:, :, c].reshape(n) for c in range(3))
+    return tuple(out[:, :, c].reshape(n) for c in range(ncols))
+
+
+def expand_triple(compact_triple, live):
+    """expand_cols for the radiance-triple case (the original move)."""
+    return expand_cols(tuple(compact_triple), live)

@@ -299,29 +299,23 @@ def _ggx_eval(sn, v, l, rough, f0):
     return V.scale(f, k), f
 
 
-def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=False,
-                first_rec=None, first_attrs=None, alive0=None):
-    """Full path trace for a flat ray batch (component-form rays).
+def _make_bounce_step(scene, env, vol, flags, u, n):
+    """Factory for ONE path-trace bounce over a flat [n] ray batch.
 
-    origin0/dir0: component triples of [B]. `first_rec` optionally supplies
-    a precomputed bounce-0 closest-hit record (the compaction path traces
-    primaries for the full frame, partitions rays hit-first, then runs the
-    rest of the transport on the compacted order); `first_attrs` its
-    in-kernel attribute rows when the attrs path is live; `alive0` an
-    initial liveness mask (the per-lane compaction path marks its padding
-    lanes dead so they neither shade nor count in the ray stats). Returns
-    (radiance triple, seed) or with stats (radiance, seed, (path_rays,
-    occl_rays)): path_rays counts closest-hit extension segments (camera +
-    bounces), occl_rays counts any-hit shadow/env-NEE candidate rays."""
-    n = origin0[0].shape[0]
+    Returns bounce_body(bounce, carry, static_bounce=0, first_rec=None,
+    first_attrs=None, use_attrs=False) -> carry. trace_paths unrolls it
+    over flags.max_bounces (the chunk-scan transports); the dense
+    wavefront transport calls it one bounce at a time, re-compacting the
+    live rays between calls. Carry layout (17 elements):
+    (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz, rx, ry, rz, last_pdf,
+    alive, nrays, noccl)."""
     bias = jnp.maximum(u.ray_bias, 1e-4)
     clip = _clip_tuple(flags, u)
     ambient = V.splat(u.ambient_color)
     volume_color = V.splat(u.volume_color)
-    use_attrs = (first_attrs is not None if first_rec is not None
-                 else _use_attrs(scene, flags))
 
-    def bounce_body(bounce, carry, static_bounce=0):
+    def bounce_body(bounce, carry, static_bounce=0, first_rec=None,
+                    first_attrs=None, use_attrs=False):
         (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
          rx, ry, rz, last_pdf, alive, nrays, noccl) = carry
         origin = (ox, oy, oz)
@@ -621,6 +615,28 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
                 radiance[0], radiance[1], radiance[2],
                 last_pdf, alive, nrays, noccl)
 
+    return bounce_body
+
+
+def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=False,
+                first_rec=None, first_attrs=None, alive0=None):
+    """Full path trace for a flat ray batch (component-form rays).
+
+    origin0/dir0: component triples of [B]. `first_rec` optionally supplies
+    a precomputed bounce-0 closest-hit record (the compaction path traces
+    primaries for the full frame, partitions rays hit-first, then runs the
+    rest of the transport on the compacted order); `first_attrs` its
+    in-kernel attribute rows when the attrs path is live; `alive0` an
+    initial liveness mask (the per-lane compaction path marks its padding
+    lanes dead so they neither shade nor count in the ray stats). Returns
+    (radiance triple, seed) or with stats (radiance, seed, (path_rays,
+    occl_rays)): path_rays counts closest-hit extension segments (camera +
+    bounces), occl_rays counts any-hit shadow/env-NEE candidate rays."""
+    n = origin0[0].shape[0]
+    use_attrs = (first_attrs is not None if first_rec is not None
+                 else _use_attrs(scene, flags))
+    bounce_body = _make_bounce_step(scene, env, vol, flags, u, n)
+
     ones = jnp.ones((n,), jnp.float32)
     zeros = jnp.zeros((n,), jnp.float32)
     carry = (
@@ -639,12 +655,14 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
     # entirely.
     for bounce in range(flags.max_bounces):
         if bounce == 0:
-            carry = bounce_body(jnp.int32(0), carry)
+            carry = bounce_body(jnp.int32(0), carry, first_rec=first_rec,
+                                first_attrs=first_attrs, use_attrs=use_attrs)
         else:
             carry = jax.lax.cond(
                 jnp.any(carry[14]),
-                lambda c, b=bounce: bounce_body(jnp.int32(b), c,
-                                                static_bounce=b),
+                lambda c, b=bounce: bounce_body(
+                    jnp.int32(b), c, static_bounce=b, first_rec=first_rec,
+                    first_attrs=first_attrs, use_attrs=use_attrs),
                 lambda c: c,
                 carry,
             )
@@ -933,6 +951,175 @@ def _compacted_transport(scene, env, vol, flags, u, seed, origin, direction,
     return out, seed
 
 
+def _use_wavefront(scene, flags, n) -> bool:
+    """Route the post-primary transport through the bounce-major dense
+    wavefront (_wavefront_transport): per-bounce live-ray re-compaction
+    keeps every traversal/shading launch at ~100% lane occupancy for the
+    WHOLE bounce loop, not just bounce 0. WRT_WAVEFRONT=1 forces on,
+    =0 forces off (A/B against the compact/permuted paths). Same
+    structural exclusions as _use_compact."""
+    import os
+
+    env = os.environ.get("WRT_WAVEFRONT")
+    if env == "0":
+        return False
+    if flags.distributed or flags.volume_enabled:
+        return False
+    if flags.tracer != "wavefront" or not flags.use_bvh:
+        return False
+    if n % 1024 != 0 or flags.max_bounces < 1:
+        return False
+    return env == "1"
+
+
+def _wavefront_transport(scene, env, vol, flags, u, seed, origin, direction,
+                         rec0, clip, with_stats, fallback_fn):
+    """Bounce-major dense transport with PER-BOUNCE live-ray re-compaction.
+
+    The compacted transport (_compacted_transport) packs hit lanes once
+    and then runs the whole unrolled bounce loop over the dense buffer —
+    occupancy decays back to 10-25% by bounce 2 as rays die in place.
+    This transport instead runs ONE bounce at a time over a dense buffer
+    and re-packs the survivors between bounces, so every closest trace,
+    3-light shadow batch, env-NEE trace, and shading stage runs at ~100%
+    lane occupancy (the work-proportional counterpart of the reference's
+    per-pixel loop termination, webgl.js:1173-1186 — on a lock-step
+    vector machine, re-compaction replaces per-lane exit).
+
+    Movement plan (all primitives measured on TPU v5e,
+    tools/compact_cost.py):
+      - bounce-0 pack: argsort live-first + ONE [cap, 16] row gather
+        (shared with the compact path);
+      - radiance never moves or scatters: each bounce's delta (radiance
+        starts at zero per bounce) is DEPOSITED into a fixed buffer held
+        in bounce-0 packed order via the monotone window + one-hot MXU
+        expand (compact.expand_cols) — valid because stable re-packs
+        preserve the relative (= packed-0) order of surviving lanes;
+      - the packed-0 alive mask updates by expanding the survivor flags
+        (one bool column) through the same move;
+      - survivor rows (seed, o, d, throughput, pdf — 11 columns) re-pack
+        with argsort + one [cap, 16] row gather per bounce.
+
+    Reassociating the radiance sum (per-bounce deposits instead of one
+    running carry) changes results by f32 ulps only — RNG decisions
+    never read radiance, so no decision flips; tests compare at 1e-5."""
+    import os
+
+    from ..ops.wavefront import _finalize_hit
+    from . import compact as CP
+
+    n = origin[0].shape[0]
+    hit = rec0.prim_slot >= 0
+    n_live = jnp.sum(hit.astype(jnp.int32))
+    div = int(os.environ.get("WRT_WF_CAP_DIV") or 8)
+    cap, _ = CP.compact_cap(n, div)
+    # Re-pack at bounce ends < this bound (tuning knob; repacking costs
+    # one row gather ~4 ms at cap=n/8, so late near-empty bounces may
+    # not repay it).
+    repack_below = int(os.environ.get("WRT_WF_REPACKS", str(flags.max_bounces)))
+
+    def dense(_):
+        amb = V.splat(u.ambient_color)
+        env_contrib = V.scale(amb, u.ambient_intensity)
+        env_contrib = tuple(jnp.broadcast_to(c, (n,)) for c in env_contrib)
+        if flags.use_env:
+            env_contrib = V.add(env_contrib, sample_env_radiance_v3(
+                env, direction, u.env_intensity, u.env_max_luminance))
+        miss_rad = V.where(~hit, env_contrib, V.zeros_like(env_contrib[0]))
+        miss_rad = V.min_with(miss_rad, RADIANCE_CLAMP)
+
+        idx = CP.live_first_index(hit, cap)
+        packed = CP.pack_rows([seed] + list(origin) + list(direction)
+                              + [rec0.t, rec0.prim_slot])
+        rows = CP.gather_rows(packed, idx)
+        lanes = jnp.arange(cap, dtype=jnp.int32)
+        alive_prefix = lanes < n_live
+
+        seed_k = jax.lax.bitcast_convert_type(rows[:, 0], jnp.uint32)
+        o3k = (rows[:, 1], rows[:, 2], rows[:, 3])
+        d3k = (rows[:, 4], rows[:, 5], rows[:, 6])
+        t_k = rows[:, 7]
+        slot_k = jnp.where(alive_prefix,
+                           jax.lax.bitcast_convert_type(rows[:, 8], jnp.int32),
+                           -1)
+        tmin_k = jnp.broadcast_to(u.t_min, (cap,)).astype(jnp.float32)
+        rec_k = _finalize_hit(scene, o3k, d3k, tmin_k, clip, t_k, slot_k,
+                              cost=jnp.zeros_like(slot_k),
+                              refine_sphere_t=True)
+
+        step = _make_bounce_step(scene, env, vol, flags, u, cap)
+        ones_c = jnp.ones((cap,), jnp.float32)
+        zeros_c = jnp.zeros((cap,), jnp.float32)
+        carry = (seed_k, o3k[0], o3k[1], o3k[2], d3k[0], d3k[1], d3k[2],
+                 ones_c, ones_c.copy(), ones_c.copy(),
+                 zeros_c, zeros_c.copy(), zeros_c.copy(),
+                 jnp.zeros((cap,), jnp.float32), alive_prefix,
+                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+        grave = (zeros_c.copy(), zeros_c.copy(), zeros_c.copy())
+        alive0 = alive_prefix          # [cap] bool, bounce-0 packed order
+
+        for b in range(flags.max_bounces):
+            if b == 0:
+                carry = step(jnp.int32(0), carry, first_rec=rec_k)
+            else:
+                carry = jax.lax.cond(
+                    jnp.any(carry[14]),
+                    lambda c, b=b: step(jnp.int32(b), c, static_bounce=b),
+                    lambda c: c, carry)
+            # Deposit this bounce's radiance delta (entry-live lanes are
+            # the dense prefix, in packed-0 relative order).
+            dep = CP.expand_cols((carry[10], carry[11], carry[12]), alive0)
+            grave = V.add(grave, dep)
+            if b < flags.max_bounces - 1:
+                alive_cur = carry[14]
+                if b < repack_below:
+                    # alive0 maps buffer rows -> grave rows and is only
+                    # valid to update when the buffer is re-packed; when
+                    # we stop re-packing, dead lanes stay in place with
+                    # zero radiance deltas, so the stale (superset) map
+                    # keeps depositing correctly.
+                    surv = CP.expand_cols(
+                        (alive_cur.astype(jnp.float32),), alive0)[0]
+                    alive0 = alive0 & (surv > 0.5)
+                    ridx = CP.live_first_index(alive_cur, cap)
+                    packed_b = CP.pack_rows([
+                        carry[0], carry[1], carry[2], carry[3],
+                        carry[4], carry[5], carry[6],
+                        carry[7], carry[8], carry[9], carry[13]])
+                    rows_b = CP.gather_rows(packed_b, ridx)
+                    n_live_b = jnp.sum(alive_cur.astype(jnp.int32))
+                    carry = (
+                        jax.lax.bitcast_convert_type(rows_b[:, 0],
+                                                     jnp.uint32),
+                        rows_b[:, 1], rows_b[:, 2], rows_b[:, 3],
+                        rows_b[:, 4], rows_b[:, 5], rows_b[:, 6],
+                        rows_b[:, 7], rows_b[:, 8], rows_b[:, 9],
+                        zeros_c, zeros_c.copy(), zeros_c.copy(),
+                        rows_b[:, 10], lanes < n_live_b,
+                        carry[15], carry[16])
+                else:
+                    carry = carry[:10] + (zeros_c, zeros_c.copy(),
+                                          zeros_c.copy()) + carry[13:]
+
+        grave_clamped = V.min_with(grave, RADIANCE_CLAMP)
+        radiance = V.add(miss_rad, CP.expand_cols(grave_clamped, hit))
+        if with_stats:
+            return radiance, (carry[15] + (n - n_live), carry[16])
+        return radiance
+
+    def fallback(_):
+        out = fallback_fn()
+        if with_stats:
+            return out[0], out[2]
+        return out[0]
+
+    out = jax.lax.cond(n_live <= cap, dense, fallback, None)
+    if with_stats:
+        return out[0], seed, out[1]
+    return out, seed
+
+
 def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
                      with_stats=False):
     """One full path-traced sample for every pixel.
@@ -988,6 +1175,11 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         return _run_permuted(scene, env, vol, flags, u, seed, origin,
                              direction, rec0, attrs0, use_attrs, slim0,
                              clip, chunks, with_stats)
+
+    if slim0 and not use_attrs and _use_wavefront(scene, flags, n):
+        return _wavefront_transport(scene, env, vol, flags, u, seed, origin,
+                                    direction, rec0, clip, with_stats,
+                                    _permuted_transport)
 
     if slim0 and not use_attrs and _use_compact(scene, flags, n):
         return _compacted_transport(scene, env, vol, flags, u, seed, origin,
