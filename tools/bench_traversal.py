@@ -45,6 +45,8 @@ def main() -> None:
     ap.add_argument("--traces", type=int, default=10,
                     help="traces per fused dispatch")
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--pops", help="comma-separated population filter "
+                    "(e.g. dense_envnee,shadow)")
     ap.add_argument("--out")
     args = ap.parse_args()
 
@@ -133,7 +135,15 @@ def main() -> None:
         "shadow": (so3, sd3, hit, "any"),
         "dense_secondary": (take(bo3), take(bd3), None, "closest"),
         "dense_shadow": (take(so3), take(sd3), None, "any"),
+        # env-NEE occlusion: ANY-hit over fully divergent (sphere-sampled)
+        # directions — the shadow population above is co-directional
+        # (cone toward one light); env CDF samples scatter over the whole
+        # sphere, so the block union is maximal here.
+        "dense_envnee": (take(bo3), take(bd3), None, "any"),
     }
+    if args.pops:
+        keep = set(args.pops.split(","))
+        pops = {k: v for k, v in pops.items() if k in keep}
 
     def make_block(key, perray):
         o3k, d3k, act, kind = pops[key]

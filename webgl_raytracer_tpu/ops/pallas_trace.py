@@ -1434,6 +1434,34 @@ def perray_auto_secondary(scene) -> bool:
     return proven or os.environ.get("WRT_PERRAY_MULTI") == "1"
 
 
+def perray_auto_any(scene, divergent=False) -> bool:
+    """Should an any-hit trace use the per-ray kernels? Depends on the
+    BATCH SHAPE, not just the scene (10k spheres, K=127,
+    tools/bench_traversal.py on TPU v5e):
+
+    - co-directional batches (the 3-light cone-jittered shadow fan):
+      per-ray LOSES — 0.76x sparse, 0.80x dense. An any-hit ray has no
+      tightening t-bound, so an UNOCCLUDED per-ray lane pops and sweeps
+      its entire cluster chain one cluster per trip, while the block
+      kernel resolves the (small, co-directional) union in a few wide
+      sweeps and exits when every lane is shadowed.
+    - DIVERGENT batches (env-NEE occlusion: CDF-sampled directions
+      scattered over the sphere): per-ray WINS 2.14x (276.9 vs 591.7 ms
+      dense) — the block union is maximal, exactly the secondary-closest
+      overfetch the per-ray routing already avoids.
+
+    So callers pass divergent=True only for env-NEE-shaped batches, and
+    the routing then follows the race-proven secondary-closest criterion
+    (cluster-rich scenes; K=10 loses everywhere, 0.42-0.56x).
+    WRT_PERRAY_ANY=1/0 force on/off for experiments."""
+    env = os.environ.get("WRT_PERRAY_ANY")
+    if env == "0":
+        return False
+    if env == "1":
+        return perray_supported(scene)
+    return divergent and perray_auto_secondary(scene)
+
+
 def _use_perray(scene, perray):
     """Resolve the traversal formulation: per-ray worklist (work
     proportional to each ray's own cluster chain) vs block worklist.

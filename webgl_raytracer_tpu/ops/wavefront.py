@@ -959,7 +959,14 @@ def wf_trace_closest_v3(scene, o3, d3, t_min, clip=None, active=None,
 
 def wf_trace_any_v3(scene, o3, d3, t_min, t_max=BIG, accept_min=None,
                     clip=None, active=None, max_iters: int = 4096,
-                    use_pallas: bool = True, force_dense: bool = False):
+                    use_pallas: bool = True, force_dense: bool = False,
+                    divergent: bool = False):
+    """divergent=True marks batches whose directions scatter over the
+    sphere (env-NEE occlusion) rather than fanning toward a light; on
+    cluster-rich scenes those route to the per-ray worklist kernels
+    (measured 2.14x on 10k spheres) while co-directional shadow fans stay
+    on the block kernels (per-ray measured 0.76-0.80x there) — see
+    pallas_trace.perray_auto_any for the full measurements."""
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), o3[0].shape)
     n = o3[0].shape[0]
     k = scene.num_clusters
@@ -969,8 +976,10 @@ def wf_trace_any_v3(scene, o3, d3, t_min, t_max=BIG, accept_min=None,
     if _pallas_auto(scene, clip, use_pallas):
         from . import pallas_trace as PS
 
+        perray = True if PS.perray_auto_any(scene, divergent) else None
         return PS.trace_any(scene, o3, d3, t_min, t_max=t_max,
                             accept_min=accept_min, clip=clip, active=active,
+                            perray=perray,
                             interpret=pallas_forced_interpret())
     if k <= DENSE_MAX_CLUSTERS or n % TILE != 0 or n < TILE:
         if k <= TILE_MAX_CLUSTERS:

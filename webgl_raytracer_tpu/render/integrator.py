@@ -127,14 +127,15 @@ def _closest_hit(scene, flags, o3, d3, t_min, clip, active=None,
 
 
 def _any_hit(scene, flags, o3, d3, t_min, clip, accept_min=None,
-             t_max=BIG, active=None):
+             t_max=BIG, active=None, divergent=False):
     def run(_):
         if flags.tracer == "wavefront":
             return wf_trace_any_v3(scene, o3, d3, t_min, t_max=t_max,
                                    accept_min=accept_min, clip=clip,
                                    active=active,
                                    use_pallas=not flags.distributed,
-                                   force_dense=not flags.use_bvh)
+                                   force_dense=not flags.use_bvh,
+                                   divergent=divergent)
         return _traverse(
             scene, jnp.stack(o3, -1), jnp.stack(d3, -1), t_min, clip,
             any_hit=True, accept_min=accept_min, t_max=t_max,
@@ -533,7 +534,7 @@ def _make_bounce_step(scene, env, vol, flags, u, n):
             noccl = noccl + jnp.sum(candidate.astype(jnp.int32))
             occluded = _any_hit(
                 scene, flags, shadow_origin, env_dir, u.t_min, clip,
-                active=candidate,
+                active=candidate, divergent=True,
             )
             open_sky = candidate & ~occluded
             spec, f = _ggx_eval(sn, v, env_dir, rough, f0)
