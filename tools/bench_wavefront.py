@@ -38,6 +38,10 @@ def run_one(frames: int, reps: int) -> None:
     r = Renderer(scene, width=1920, height=1080)
     r.settings.tone_map = "linear"
     r.settings.max_frames = 10 ** 9
+    if os.environ.get("BC_BOUNCES"):
+        r.settings.max_bounces = int(os.environ["BC_BOUNCES"])
+    if os.environ.get("BC_NO_SHADOWS"):
+        r.settings.cast_shadows = False
     r.render_frames(frames)
     jax.block_until_ready(r._accum)
     dt = float("inf")

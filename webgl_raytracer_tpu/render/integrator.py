@@ -300,7 +300,7 @@ def _ggx_eval(sn, v, l, rough, f0):
     return V.scale(f, k), f
 
 
-def _make_bounce_step(scene, env, vol, flags, u, n):
+def _make_bounce_step(scene, env, vol, flags, u, n, capture_shadow=False):
     """Factory for ONE path-trace bounce over a flat [n] ray batch.
 
     Returns bounce_body(bounce, carry, static_bounce=0, first_rec=None,
@@ -309,7 +309,14 @@ def _make_bounce_step(scene, env, vol, flags, u, n):
     wavefront transport calls it one bounce at a time, re-compacting the
     live rays between calls. Carry layout (17 elements):
     (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz, rx, ry, rz, last_pdf,
-    alive, nrays, noccl)."""
+    alive, nrays, noccl).
+
+    capture_shadow=True (tools/shadow_cost.py only): bounce_body returns
+    (carry, batch) where batch = (o0,o1,o2,d0,d1,d2,act,smin) is this
+    bounce's batched 3-light shadow-trace input — the exact arrays the
+    production _any_hit launch receives — so the tool can replay the
+    launch standalone. (The axon PJRT rejects host callbacks, so the
+    batches leave the jit as outputs instead.)"""
     bias = jnp.maximum(u.ray_bias, 1e-4)
     clip = _clip_tuple(flags, u)
     ambient = V.splat(u.ambient_color)
@@ -387,9 +394,20 @@ def _make_bounce_step(scene, env, vol, flags, u, n):
 
         # Everything below runs only when some lane in this chunk hit —
         # all-miss (pure background) chunks return here.
+        if capture_shadow:
+            return jax.lax.cond(jnp.any(alive),
+                                lambda c: shade_tail(bounce, rec, attrs, c),
+                                lambda c: (c, _zero_shadow_batch()),
+                                carry_mid)
         return jax.lax.cond(jnp.any(alive),
                             lambda c: shade_tail(bounce, rec, attrs, c),
                             lambda c: c, carry_mid)
+
+    def _zero_shadow_batch():
+        m = max(sum(1 for i in range(3) if flags.light_enabled[i]), 1)
+        z = jnp.zeros((m * n,), jnp.float32)
+        return (z, z.copy(), z.copy(), z.copy(), z.copy(), z.copy(),
+                jnp.zeros((m * n,), bool), jnp.zeros((m * n,), jnp.float32))
 
     def shade_tail(bounce, rec, attrs, carry):
         (seed, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
@@ -481,6 +499,7 @@ def _make_bounce_step(scene, env, vol, flags, u, n):
             light_samples.append((i, ldir, l_pdf, ndl, candidate))
 
         occluded_by_light = {}
+        shadow_batch = _zero_shadow_batch() if capture_shadow else None
         if flags.cast_shadows and light_samples:
             m = len(light_samples)
             cat = lambda parts: jnp.concatenate(parts)
@@ -490,9 +509,12 @@ def _make_bounce_step(scene, env, vol, flags, u, n):
             act_cat = cat([s[4] for s in light_samples])
             noccl = noccl + jnp.sum(act_cat.astype(jnp.int32))
             smin = jnp.broadcast_to(shadow_min, (n,))
+            smin_cat = cat([smin] * m)
+            if capture_shadow:
+                shadow_batch = o_cat + d_cat + (act_cat, smin_cat)
             occ_cat = _any_hit(
                 scene, flags, o_cat, d_cat, u.t_min, clip,
-                accept_min=cat([smin] * m), active=act_cat,
+                accept_min=smin_cat, active=act_cat,
             )
             for j, s in enumerate(light_samples):
                 occluded_by_light[s[0]] = occ_cat[j * n:(j + 1) * n]
@@ -610,17 +632,21 @@ def _make_bounce_step(scene, env, vol, flags, u, n):
         throughput = V.scale(throughput, rr_boost)
 
         alive = transmit | (shade_lane & ~dead_spec & ~rr_kill)
-        return (seed, origin[0], origin[1], origin[2],
-                direction[0], direction[1], direction[2],
-                throughput[0], throughput[1], throughput[2],
-                radiance[0], radiance[1], radiance[2],
-                last_pdf, alive, nrays, noccl)
+        out = (seed, origin[0], origin[1], origin[2],
+               direction[0], direction[1], direction[2],
+               throughput[0], throughput[1], throughput[2],
+               radiance[0], radiance[1], radiance[2],
+               last_pdf, alive, nrays, noccl)
+        if capture_shadow:
+            return out, shadow_batch
+        return out
 
     return bounce_body
 
 
 def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=False,
-                first_rec=None, first_attrs=None, alive0=None):
+                first_rec=None, first_attrs=None, alive0=None,
+                capture_shadow=False):
     """Full path trace for a flat ray batch (component-form rays).
 
     origin0/dir0: component triples of [B]. `first_rec` optionally supplies
@@ -636,7 +662,8 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
     n = origin0[0].shape[0]
     use_attrs = (first_attrs is not None if first_rec is not None
                  else _use_attrs(scene, flags))
-    bounce_body = _make_bounce_step(scene, env, vol, flags, u, n)
+    bounce_body = _make_bounce_step(scene, env, vol, flags, u, n,
+                                    capture_shadow=capture_shadow)
 
     ones = jnp.ones((n,), jnp.float32)
     zeros = jnp.zeros((n,), jnp.float32)
@@ -654,20 +681,30 @@ def trace_paths(scene, env, vol, flags, u, origin0, dir0, seed0, with_stats=Fals
     # Unrolled bounce loop; bounces past the first run under a whole-body
     # cond so a (screen-coherent) chunk whose rays all died skips them
     # entirely.
+    batches = []
     for bounce in range(flags.max_bounces):
         if bounce == 0:
             carry = bounce_body(jnp.int32(0), carry, first_rec=first_rec,
                                 first_attrs=first_attrs, use_attrs=use_attrs)
         else:
+            zero_batch = (jax.tree_util.tree_map(jnp.zeros_like, batches[0])
+                          if capture_shadow else None)
+            dead = ((lambda c: (c, zero_batch)) if capture_shadow
+                    else (lambda c: c))
             carry = jax.lax.cond(
                 jnp.any(carry[14]),
                 lambda c, b=bounce: bounce_body(
                     jnp.int32(b), c, static_bounce=b, first_rec=first_rec,
                     first_attrs=first_attrs, use_attrs=use_attrs),
-                lambda c: c,
+                dead,
                 carry,
             )
+        if capture_shadow:
+            carry, batch = carry
+            batches.append(batch)
     radiance = V.min_with((carry[10], carry[11], carry[12]), RADIANCE_CLAMP)
+    if capture_shadow:
+        return radiance, carry[0], batches
     if with_stats:
         return radiance, carry[0], (carry[15], carry[16])
     return radiance, carry[0]
@@ -958,7 +995,16 @@ def _use_wavefront(scene, flags, n) -> bool:
     keeps every traversal/shading launch at ~100% lane occupancy for the
     WHOLE bounce loop, not just bounce 0. WRT_WAVEFRONT=1 forces on,
     =0 forces off (A/B against the compact/permuted paths). Same
-    structural exclusions as _use_compact."""
+    structural exclusions as _use_compact.
+
+    Auto-routing (measured, TPU v5e 1080p, tools/bench_wavefront.py
+    subprocess race): same cluster-count criterion as the single-pack
+    compact path, and it beats that path where both qualify — 10k
+    spheres (K=127): permuted 447.3, compact 393.2, wavefront 363.4
+    ms/frame (repacks=all bounces; repacks=1 regresses to 426-430).
+    1k spheres (K=10): wavefront 154-167 vs permuted 111.3 — cheap
+    [1024,128] union sweeps don't repay per-bounce repacking, so low-K
+    scenes keep the block permutation."""
     import os
 
     env = os.environ.get("WRT_WAVEFRONT")
@@ -970,7 +1016,7 @@ def _use_wavefront(scene, flags, n) -> bool:
         return False
     if n % 1024 != 0 or flags.max_bounces < 1:
         return False
-    return env == "1"
+    return env == "1" or scene.num_clusters >= COMPACT_MIN_CLUSTERS
 
 
 def _wavefront_transport(scene, env, vol, flags, u, seed, origin, direction,
