@@ -60,6 +60,10 @@ def main() -> None:
     ap.add_argument("--oracle-chunk", type=int, default=4096)
     ap.add_argument("--skip-decay", action="store_true")
     ap.add_argument("--only", help="substring filter on scene names")
+    ap.add_argument("--skip", help="exclude scenes whose name contains this "
+                    "substring (e.g. --skip glass to refresh the "
+                    "stream-exact rows while the converged-glass oracle "
+                    "accumulations are still being computed)")
     ap.add_argument("--oracle-cache", default=None,
                     help="directory of cached oracle accumulations keyed by "
                          "(scene, size, frames); written when absent")
@@ -150,6 +154,8 @@ def main() -> None:
     ]
     if args.only:
         configs = [c for c in configs if args.only in c[0]]
+    if args.skip:
+        configs = [c for c in configs if args.skip not in c[0]]
 
     def oracle_chunked(scene_np, env, vol, flags, u_np, px_np, py_np, f):
         n = px_np.shape[0]
