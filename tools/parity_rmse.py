@@ -156,6 +156,9 @@ def main() -> None:
         configs = [c for c in configs if args.only in c[0]]
     if args.skip:
         configs = [c for c in configs if args.skip not in c[0]]
+    if not configs:
+        raise SystemExit("--only/--skip filtered out every scene; nothing "
+                         "to measure (refusing to write an empty all_pass)")
 
     def oracle_chunked(scene_np, env, vol, flags, u_np, px_np, py_np, f):
         n = px_np.shape[0]
@@ -304,6 +307,27 @@ def main() -> None:
         print("oracle-only run complete; cache at", args.oracle_cache)
         return
 
+    # A filtered run (--only/--skip) MERGES into the existing artifact
+    # instead of overwriting it: the untouched scenes' rows survive, and
+    # all_pass is computed over the merged table, so a partial refresh can
+    # never silently drop gates (ADVICE r03). The applied filter is
+    # recorded either way.
+    filtered = bool(args.only or args.skip)
+    merged = list(results)
+    prior_decay = None
+    if filtered and os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prior = json.load(f)
+            fresh = {r["scene"] for r in results}
+            merged = ([r for r in prior.get("results", [])
+                       if r["scene"] not in fresh] + results)
+            prior_decay = prior.get("flip_decay_spheres1000_64px")
+        except Exception:
+            pass
+    if not decay and prior_decay:
+        decay = prior_decay
+
     out = {
         "criterion": "stream-exact rows: flip-excluded RMSE <= 1e-3 with "
                      "flip fraction < 0.05 (raw RMSE reported; decay sweep "
@@ -312,13 +336,20 @@ def main() -> None:
         "oracle": "webgl_raytracer_tpu/render/reference_oracle.py — NumPy "
                   "transliteration of /root/reference/src/webgl.js transport",
         "device": str(jax.devices()[0]),
-        "all_pass": all(r["pass"] for r in results),
-        "results": results,
+        "filter": {"only": args.only, "skip": args.skip,
+                   "merged_into_existing": filtered and len(merged) >
+                   len(results)},
+        "all_pass": all(r["pass"] for r in merged),
+        "results": merged,
         "flip_decay_spheres1000_64px": decay,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
-    print(f"wrote {args.out}  all_pass={out['all_pass']}")
+        f.write("\n")
+    print(f"wrote {args.out}  all_pass={out['all_pass']}"
+          + (f"  (filtered run: only={args.only!r} skip={args.skip!r}, "
+             f"{len(results)} refreshed / {len(merged)} total rows)"
+             if filtered else ""))
 
 
 if __name__ == "__main__":
