@@ -758,6 +758,237 @@ def _make_any_kernel(types, kpad, clip_on=False, with_cost=False):
     return kernel
 
 
+def _block_entries_multi(kpad, bbT_ref, bgT_ref, ods, ev_ref):
+    """_block_entries generalized to SEVERAL ray sets per lane: the entry
+    distance of a cluster is the nearest entry over every live ray of
+    every set (the fused shadow fan shares one worklist across its three
+    directions). Same two-level group refinement as _block_entries."""
+    kio = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
+
+    def ent(boxT):
+        e = _slab_sweep(boxT, ods[0])
+        for od in ods[1:]:
+            e = jnp.minimum(e, _slab_sweep(boxT, od))
+        return e
+
+    ngroups = kpad // 128
+    if ngroups == 1:
+        ev_ref[:] = ent(bbT_ref[:, :])
+        return kio
+
+    ev_ref[:] = jnp.full((1, kpad), INF, jnp.float32)
+    gent = ent(bgT_ref[:, :])                              # [1, 128]
+    gio = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for g in range(ngroups):
+        touched = jnp.min(jnp.where(gio == g, gent, INF)) < BIG
+
+        @pl.when(touched)
+        def _(g=g):
+            ev_ref[0, g * 128:(g + 1) * 128] = ent(
+                bbT_ref[:, g * 128:(g + 1) * 128])[0, :]
+
+    return kio
+
+
+def _make_any3_kernel(types, kpad, clip_on=False, with_cost=False):
+    """Fused THREE-ray occlusion kernel: each lane carries three rays that
+    share one origin — the 3-cone-light shadow fan at a surface hit
+    (webgl.js:1094-1145 shadeDirect's three traceAnyMin calls). The
+    launch runs ONE front-to-back worklist per block (entries = nearest
+    over all three directions) and each visited cluster is swept once per
+    still-unresolved direction, so the per-block fixed costs the
+    concatenated [3N] launch pays three times — operand columns, entries
+    pass, pop/bound machinery, output moves — are paid once, and the
+    block count drops 3x.
+
+    Exactness: occlusion is an order-independent OR over (ray, prim)
+    predicates, and each predicate here is the same _prim_ts expression
+    on the same inputs as the single-ray any kernel, so results are
+    BIT-identical to three separate traces no matter how blocks, sweeps,
+    or early exits differ (a skipped sweep only ever skips lanes already
+    found). Verified by tests/test_any3.py.
+
+    od rows: 0-2 d0, 3-5 centered origin, 6 act bitmask (a0 + 2 a1 +
+    4 a2 as f32), 7 unused, 8 t_min, 9 accept_lo, 10-12 d1, 13-15 d2.
+    t_max is fixed at BIG (shadow/NEE rays are unbounded; picking-style
+    bounded queries keep the single-ray kernel). Output: one int32
+    bitmask per lane (bit j = direction j occluded)."""
+
+    def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
+               ct_ref, found_out, *rest):
+        if with_cost:
+            cost_out, f0_ref, f1_ref, f2_ref, ev_ref = rest
+        else:
+            f0_ref, f1_ref, f2_ref, ev_ref = rest
+        num_k = num_k_ref[0]
+        clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
+                if clip_on else None)
+        o = [od_ref[3 + i, :] for i in range(3)]
+        dir_rows = ((0, 1, 2), (10, 11, 12), (13, 14, 15))
+        # Decode the activity bitmask arithmetically (f32 is exact on
+        # 0..7; Mosaic's 1-D int bitwise path is not worth relying on).
+        am = od_ref[6, :]
+        a2 = jnp.floor(am * 0.25)
+        rem = am - 4.0 * a2
+        a1 = jnp.floor(rem * 0.5)
+        a0 = rem - 2.0 * a1
+        acts = (a0, a1, a2)
+        ods = [[od_ref[r, :] for r in dir_rows[j]] + o + [acts[j]]
+               for j in range(3)]
+
+        gate = _root_gate(cp_ref, ods[0])
+        for j in (1, 2):
+            gate = gate | _root_gate(cp_ref, ods[j])
+
+        @pl.when(gate)
+        def _run():
+            # Column relayouts only when the block traverses (dead-block
+            # floor discipline, see _make_closest_kernel).
+            cols_o = tuple(od_ref[3 + i, :][:, None] for i in range(3))
+            tmin_col = od_ref[8, :][:, None]
+            lo_col = od_ref[9, :][:, None]
+            cols_j = [tuple(od_ref[r, :][:, None] for r in dir_rows[j])
+                      + cols_o + (tmin_col,) for j in range(3)]
+            # Inactive directions start "found" so the early exit and the
+            # per-direction sweep skips count only live queries.
+            f0_ref[:] = (a0 <= 0.0).astype(jnp.int32)
+            f1_ref[:] = (a1 <= 0.0).astype(jnp.int32)
+            f2_ref[:] = (a2 <= 0.0).astype(jnp.int32)
+            frefs = (f0_ref, f1_ref, f2_ref)
+            kio = _block_entries_multi(kpad, bbT_ref, bgT_ref, ods, ev_ref)
+            ev0 = ev_ref[:]
+
+            def cond(carry):
+                return carry[1] < BIG
+
+            def body(carry):
+                ev, e, k, nswept = carry
+
+                for j in range(3):
+                    fr = frefs[j]
+                    # Skip a direction every lane has already resolved —
+                    # occlusion saturates, so late sweeps usually run for
+                    # one or two directions only.
+                    go = jnp.min(fr[:]) == 0
+
+                    @pl.when(go)
+                    def _(j=j, fr=fr):
+                        def apply(ts):
+                            hit = jnp.any((ts > lo_col) & (ts < BIG),
+                                          axis=1)
+                            fr[:] = fr[:] | hit.astype(jnp.int32)
+
+                        _sweep_cluster(cols_j[j], soa_ref, k, types, clip,
+                                       ct_ref, apply)
+
+                    if with_cost:
+                        nswept = nswept + go.astype(jnp.int32)
+                ev = jnp.where(kio == k, INF, ev)
+                e, k = _pop_nearest(ev, kio)
+                # Stop once every lane's three queries are resolved.
+                done = jnp.min(f0_ref[:] + f1_ref[:] + f2_ref[:]) == 3
+                e = jnp.where(done, INF, e)
+                return ev, e, k, nswept
+
+            e0, k0 = _pop_nearest(ev0, kio)
+            carry = jax.lax.while_loop(cond, body,
+                                       (ev0, e0, k0, jnp.int32(0)))
+            mask = (a0 > 0.0).astype(jnp.int32)
+            m1 = (a1 > 0.0).astype(jnp.int32)
+            m2 = (a2 > 0.0).astype(jnp.int32)
+            found_out[:] = (f0_ref[:] * mask + 2 * f1_ref[:] * m1
+                            + 4 * f2_ref[:] * m2)
+            if with_cost:
+                cost_out[:] = jnp.full((BLOCK,), carry[3] * 128, jnp.int32)
+
+        @pl.when(~gate)
+        def _miss():
+            found_out[:] = jnp.zeros((BLOCK,), jnp.int32)
+            if with_cost:
+                cost_out[:] = jnp.zeros((BLOCK,), jnp.int32)
+
+    return kernel
+
+
+def _grid_call3(kernel, n_pad, k, outs, od, soa, bbT, bgT, cp, ct,
+                interpret):
+    nb = n_pad // BLOCK
+    kp = _kpad(k)
+    scratch = [pltpu.VMEM((BLOCK,), jnp.int32) for _ in range(3)]
+    scratch.append(pltpu.VMEM((1, kp), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((16, BLOCK), lambda i, s: (0, i)),
+            pl.BlockSpec((k * ROWS, 128), lambda i, s: (0, 0)),
+            pl.BlockSpec((8, kp), lambda i, s: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((BLOCK,), lambda i, s: (i,))
+                   for _ in outs],
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), dt) for dt in outs],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.array([k], jnp.int32), od, soa, bbT, bgT, cp, ct)
+
+
+def trace_any3(scene, o3, d3s, t_min, accept_min=None, clip=None,
+               actives=(None, None, None), interpret=False,
+               with_cost=False):
+    """Fused 3-direction occlusion from a SHARED origin per lane: returns
+    (occ0, occ1, occ2) bool [N] — bit-identical to three trace_any calls
+    with t_max=BIG (see _make_any3_kernel). d3s: three direction triples;
+    actives: three per-ray candidate masks (None = all live)."""
+    n = o3[0].shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    soa, bbT, bgT, mid, ct = _scene_operands(scene)
+    cp, clip_on = _scalar_operand(clip, mid, scene)
+
+    ox, oy, oz = (o3[i] - mid[i] for i in range(3))
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    if accept_min is None:
+        lo = jnp.zeros((n,), jnp.float32)
+    else:
+        lo = jnp.broadcast_to(jnp.asarray(accept_min, jnp.float32), (n,))
+    ones = jnp.ones((n,), jnp.float32)
+    amask = jnp.zeros((n,), jnp.float32)
+    for j, a in enumerate(actives):
+        bit = ones if a is None else a.astype(jnp.float32)
+        amask = amask + bit * float(1 << j)
+    zero = jnp.zeros((n,), jnp.float32)
+    od = jnp.stack([
+        d3s[0][0], d3s[0][1], d3s[0][2], ox, oy, oz, amask, zero, t_min,
+        lo, d3s[1][0], d3s[1][1], d3s[1][2], d3s[2][0], d3s[2][1],
+        d3s[2][2]], axis=0)
+    if n_pad != n:
+        od = jnp.concatenate(
+            [od, jnp.zeros((16, n_pad - n), jnp.float32)], axis=1)
+
+    outs = (jnp.int32,) + ((jnp.int32,) if with_cost else ())
+    out = _grid_call3(
+        _make_any3_kernel(_types(scene), _kpad(scene.num_clusters),
+                          clip_on, with_cost=with_cost),
+        n_pad, scene.num_clusters, outs, od, soa, bbT, bgT, cp, ct,
+        interpret)
+    bits = out[0][:n]
+    occ = []
+    for j, a in enumerate(actives):
+        f = (bits // (1 << j)) % 2 != 0
+        occ.append(f if a is None else f & a)
+    if with_cost:
+        return tuple(occ), out[1][:n]
+    return tuple(occ)
+
+
 # ---------------------------------------------------------------------------
 # Per-ray worklist kernels (work-proportional traversal).
 #

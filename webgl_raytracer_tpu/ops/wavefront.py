@@ -995,6 +995,29 @@ def wf_trace_any_v3(scene, o3, d3, t_min, t_max=BIG, accept_min=None,
                           active=active, max_iters=max_iters)
 
 
+def wf_trace_any3_v3(scene, o3, d3s, t_min, accept_min=None, clip=None,
+                     actives=(None, None, None), use_pallas: bool = True,
+                     force_dense: bool = False):
+    """Occlusion of THREE rays per lane sharing one origin (the 3-light
+    shadow fan, webgl.js:1094-1145). On the Pallas path this is ONE fused
+    launch with a shared worklist (pallas_trace.trace_any3 — 3x fewer
+    blocks than the concatenated [3N] batch, bit-identical results); on
+    other paths it falls back to three wf_trace_any_v3 calls (whose
+    per-ray results are independent of batching). Returns three bool [N]
+    arrays."""
+    if not force_dense and _pallas_auto(scene, clip, use_pallas):
+        from . import pallas_trace as PS
+
+        return PS.trace_any3(scene, o3, d3s, t_min, accept_min=accept_min,
+                             clip=clip, actives=actives,
+                             interpret=pallas_forced_interpret())
+    return tuple(
+        wf_trace_any_v3(scene, o3, d3s[j], t_min, accept_min=accept_min,
+                        clip=clip, active=actives[j],
+                        use_pallas=use_pallas, force_dense=force_dense)
+        for j in range(3))
+
+
 def _split(a):
     return (a[..., 0], a[..., 1], a[..., 2])
 

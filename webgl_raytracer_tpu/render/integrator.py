@@ -149,6 +149,48 @@ def _any_hit(scene, flags, o3, d3, t_min, clip, accept_min=None,
         lambda _: jnp.zeros(o3[0].shape, bool), None)
 
 
+def _use_any3_fan(scene, flags, clip) -> bool:
+    """Route the 3-light shadow fan through the fused 3-rays-per-lane
+    occlusion kernel (pallas_trace.trace_any3): one worklist/sweep front
+    serves all three co-origin cone rays, so the per-block fixed costs the
+    concatenated [3N] launch pays three times are paid once. Results are
+    bit-identical (occlusion is an order-independent OR; see the kernel
+    docstring and tests/test_any3.py). WRT_ANY3=0 forces the concatenated
+    batch (A/B), =1 forces the fused path even off-TPU (interpret-mode
+    tests); auto = whenever the Pallas kernels are live."""
+    import os
+
+    from ..ops.wavefront import _pallas_auto
+
+    env = os.environ.get("WRT_ANY3")
+    if env == "0":
+        return False
+    if flags.tracer != "wavefront" or not flags.use_bvh:
+        return False
+    if env == "1":
+        return True
+    return _pallas_auto(scene, clip, not flags.distributed)
+
+
+def _any_hit3(scene, flags, o3, d3s, t_min, clip, accept_min, actives):
+    """Fused 3-direction occlusion gated on any candidate being live."""
+    from ..ops.wavefront import wf_trace_any3_v3
+
+    def run(_):
+        return wf_trace_any3_v3(scene, o3, d3s, t_min,
+                                accept_min=accept_min, clip=clip,
+                                actives=actives,
+                                use_pallas=not flags.distributed,
+                                force_dense=not flags.use_bvh)
+
+    def skip(_):
+        z = jnp.zeros(o3[0].shape, bool)
+        return (z, z.copy(), z.copy())
+
+    live = actives[0] | actives[1] | actives[2]
+    return jax.lax.cond(jnp.any(live), run, skip, None)
+
+
 def _trace_or_skip(scene, flags, origin, direction, t_min, clip, active,
                    with_attrs=False):
     """Closest hit gated on `active` (used by the compaction path, where
@@ -500,7 +542,27 @@ def _make_bounce_step(scene, env, vol, flags, u, n, capture_shadow=False):
 
         occluded_by_light = {}
         shadow_batch = _zero_shadow_batch() if capture_shadow else None
-        if flags.cast_shadows and light_samples:
+        if (flags.cast_shadows and light_samples and not capture_shadow
+                and _use_any3_fan(scene, flags, clip)):
+            # Fused fan: up to three co-origin rays per LANE, one
+            # traversal launch, one worklist (bit-identical to the
+            # concatenated batch below; see _use_any3_fan).
+            for s in light_samples:
+                noccl = noccl + jnp.sum(s[4].astype(jnp.int32))
+            dpad = (jnp.ones((n,), jnp.float32),
+                    jnp.zeros((n,), jnp.float32),
+                    jnp.zeros((n,), jnp.float32))
+            apad = jnp.zeros((n,), bool)
+            d3s = tuple(light_samples[j][1] if j < len(light_samples)
+                        else dpad for j in range(3))
+            acts = tuple(light_samples[j][4] if j < len(light_samples)
+                         else apad for j in range(3))
+            smin = jnp.broadcast_to(shadow_min, (n,))
+            occ3 = _any_hit3(scene, flags, shadow_origin, d3s, u.t_min,
+                             clip, smin, acts)
+            for j, s in enumerate(light_samples):
+                occluded_by_light[s[0]] = occ3[j]
+        elif flags.cast_shadows and light_samples:
             m = len(light_samples)
             cat = lambda parts: jnp.concatenate(parts)
             o_cat = tuple(cat([shadow_origin[c]] * m) for c in range(3))
