@@ -235,6 +235,70 @@ class TestServer:
         assert state.update_sky({"enabled": False})["ok"]
         assert r.env is None
 
+    def test_viewer_env_route(self):
+        """HDR-environment selection in-session (the reference's env
+        dropdown, environment_controller.js:194-209): the manifest lists
+        the bundled assets, /env swaps between sky / hdr / off, file names
+        resolve only through the manifest, and a sky-slider touch while an
+        HDR env is active switches back to the analytic sky."""
+        from webgl_raytracer_tpu.app.server import ViewerState
+
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        state = ViewerState(r)
+        m = state.env_manifest()
+        files = [e["file"] for e in m["environments"]]
+        assert "sky_floor_64x32.hdr" in files
+        assert m["mode"] == "sky"
+
+        out = state.update_env({"mode": "hdr", "file": "sky_floor_64x32.hdr"})
+        assert out["ok"] and out["mode"] == "hdr"
+        assert r.env is not None
+        assert state.env_manifest()["file"] == "sky_floor_64x32.hdr"
+        env_hdr = r.env
+        # Manifest names resolve too; traversal attempts do not.
+        assert state.update_env({"mode": "hdr",
+                                 "file": m["environments"][0]["name"]})["ok"]
+        out = state.update_env({"mode": "hdr", "file": "../../secrets.hdr"})
+        assert not out["ok"] and "manifest" in out["error"]
+        out = state.update_env({"mode": "bogus"})
+        assert not out["ok"]
+
+        out = state.update_env({"mode": "off"})
+        assert out["ok"] and r.env is None
+        out = state.update_env({"mode": "sky"})
+        assert out["ok"] and r.env is not None
+        # HDR active + sky slider touch -> back to the analytic sky.
+        state.update_env({"mode": "hdr", "file": "sky_floor_64x32.hdr"})
+        assert state.update_sky({"turbidity": 3.0})["ok"]
+        assert state.env_manifest()["mode"] == "sky"
+        assert r.env is not env_hdr
+
+    def test_viewer_load_volume_options(self):
+        """Volume-import controls on /load (index.html:653-674): grid
+        spacing and gaussian radius scale reach the density builder and
+        out-of-range values are rejected before any rebuild."""
+        from webgl_raytracer_tpu.app.server import ViewerState
+
+        loaded = load_test_primitives()
+        r = Renderer(loaded.scene, width=16, height=16)
+        state = ViewerState(r)
+        out = state.load_scene({"scene": "caffeine", "volume": True,
+                                "grid_spacing": 0.8, "gaussian_scale": 2.0})
+        assert out["ok"] and r.settings.volume_enabled
+        cells_coarse = r.volume.nx * r.volume.ny * r.volume.nz
+        out = state.load_scene({"scene": "caffeine", "volume": True,
+                                "grid_spacing": 0.4, "gaussian_scale": 2.0})
+        assert out["ok"]
+        cells_fine = r.volume.nx * r.volume.ny * r.volume.nz
+        assert cells_fine > cells_coarse
+        out = state.load_scene({"scene": "caffeine", "volume": True,
+                                "grid_spacing": 0.05})
+        assert not out["ok"] and "out of range" in out["error"]
+        out = state.load_scene({"scene": "caffeine", "volume": True,
+                                "gaussian_scale": 9.0})
+        assert not out["ok"] and "out of range" in out["error"]
+
     def test_viewer_load_route(self):
         """In-session scene switching (main.js:1900-1934): known scenes
         swap the compiled scene + refit the camera; unknown names and bad

@@ -151,6 +151,13 @@ VIEWER_HTML = """<!DOCTYPE html>
  <span data-light-row="1"></span>
  <span data-light-row="2"></span>
 </fieldset>
+<fieldset><legend>environment (environment_controller.js:194-209)</legend>
+ <label>source <select id="envSel">
+  <option value="sky">analytic sky</option>
+  <option value="off">lights only</option>
+ </select></label>
+ <span id="envMsg"></span>
+</fieldset>
 <fieldset><legend>analytic sky (index.html:702-788)</legend>
  <label><input type="checkbox" data-sky="enabled" checked> on</label>
  <label>turbidity <input type="range" data-sky="turbidity"
@@ -193,6 +200,11 @@ VIEWER_HTML = """<!DOCTYPE html>
   max="3.0" step="0.1" style="width:4em"></label>
  <label>res <input type="number" id="sesRes" value="0.5" min="0.2"
   max="2.0" step="0.05" style="width:4em"></label>
+ <label><input type="checkbox" id="volChk"> volume</label>
+ <label>grid Å <input type="number" id="volSpacing" value="0.5" min="0.2"
+  max="1.5" step="0.05" style="width:4em"></label>
+ <label>gauss ×VdW <input type="number" id="volGauss" value="3.0" min="1"
+  max="6" step="0.1" style="width:4em"></label>
  <button id="loadBtn">load</button>
  <span id="loadMsg"></span>
 </fieldset>
@@ -313,6 +325,29 @@ document.querySelectorAll('[data-lk]').forEach(el => {
       {index: +el.dataset.li, [el.dataset.lk]: val})});
   });
 });
+// Environment source select, populated from the HDR manifest
+// (environment_controller.js:194-209).
+const envSel = document.getElementById('envSel');
+(async () => {
+  const m = await (await fetch('/envs')).json();
+  for (const e of m.environments || []) {
+    const o = document.createElement('option');
+    o.value = 'hdr:' + e.file;
+    o.textContent = 'HDR: ' + (e.name || e.file);
+    envSel.appendChild(o);
+  }
+  if (m.mode === 'hdr' && m.file) envSel.value = 'hdr:' + m.file;
+  else envSel.value = m.mode;
+})();
+envSel.addEventListener('change', async () => {
+  const v = envSel.value;
+  const body = v.startsWith('hdr:') ? {mode: 'hdr', file: v.slice(4)}
+                                    : {mode: v};
+  const r = await (await fetch('/env', {method:'POST',
+      body: JSON.stringify(body)})).json();
+  document.getElementById('envMsg').textContent =
+      r.ok ? '' : (r.error || 'failed');
+});
 // Analytic-sky sliders regenerate the env (environment_controller.js:167-192).
 document.querySelectorAll('[data-sky]').forEach(el => {
   el.addEventListener('change', async () => {
@@ -331,6 +366,9 @@ document.getElementById('loadBtn').addEventListener('click', async () => {
     surface: document.getElementById('sesChk').checked,
     probe_radius: parseFloat(document.getElementById('sesProbe').value),
     surface_resolution: parseFloat(document.getElementById('sesRes').value),
+    volume: document.getElementById('volChk').checked,
+    grid_spacing: parseFloat(document.getElementById('volSpacing').value),
+    gaussian_scale: parseFloat(document.getElementById('volGauss').value),
   })})).json();
   msg.textContent = r.ok ? `${r.prims} prims` : (r.error || 'failed');
 });
@@ -352,18 +390,84 @@ class ViewerState:
         self.lock = threading.Lock()
         self._last_input = 0.0
         self._rotate_lock = None   # first-drag yaw/pitch axis lock
-        # Analytic-sky state (the viewer's env is either this sky or off;
-        # HDR-file envs stay whatever the CLI loaded until a sky update).
+        # Environment state: "sky" (analytic), "hdr" (a manifest asset),
+        # or "off" (lights only). Sky params persist across mode switches.
         self._sky = dict(sky_params or {})
-        self._sky_enabled = bool(env_enabled)
+        self._env_mode = "sky" if env_enabled else "off"
+        self._hdr_file = None
         self._env_ctrl = None
 
     def _controller(self):
         if self._env_ctrl is None:
+            import os
+
             from ..env import EnvironmentController
 
-            self._env_ctrl = EnvironmentController(logger=self.logger)
+            asset_dir = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), "assets", "env")
+            self._env_ctrl = EnvironmentController(asset_dir=asset_dir,
+                                                   logger=self.logger)
         return self._env_ctrl
+
+    # Back-compat alias used by update_sky (enabled toggles sky mode).
+    @property
+    def _sky_enabled(self) -> bool:
+        return self._env_mode == "sky"
+
+    def env_manifest(self) -> dict:
+        """Available HDR environments + the current selection — the data
+        the reference's env dropdown is built from
+        (environment_controller.js:194-209, index.html env select)."""
+        return {
+            "environments": self._controller().manifest(),
+            "mode": self._env_mode,
+            "file": self._hdr_file,
+        }
+
+    def update_env(self, spec: dict) -> dict:
+        """Environment source switch: {"mode": "off"|"sky"|"hdr",
+        "file": name} — the reference's environment dropdown
+        (environment_controller.js:194-209 populates it from the manifest;
+        applyEnvironmentSelection swaps the env and resets accumulation).
+        HDR files resolve ONLY through the manifest (no paths from the
+        network)."""
+        import os
+
+        mode = str(spec.get("mode", "sky"))
+        if mode not in ("off", "sky", "hdr"):
+            return {"ok": False, "error": f"unknown env mode: {mode}"}
+        with self.lock:
+            ctrl = self._controller()
+            if mode == "off":
+                ctrl.clear()
+                self.renderer.set_env(None)
+                self._env_mode = "off"
+            elif mode == "sky":
+                env = ctrl.load_analytic_sky(**self._sky)
+                self.renderer.set_env(env)
+                self._env_mode = "sky"
+            else:
+                want = os.path.basename(str(spec.get("file", "")))
+                entry = next((e for e in ctrl.manifest()
+                              if e.get("file") == want
+                              or e.get("name") == want), None)
+                if entry is None:
+                    return {"ok": False,
+                            "error": f"not in the env manifest: {want}"}
+                path = os.path.join(ctrl.asset_dir, entry["file"])
+                try:
+                    env = ctrl.load_hdr_file(path)
+                except Exception as exc:
+                    if self.logger:
+                        self.logger.error(f"env load failed: {exc}")
+                    return {"ok": False, "error": str(exc)}
+                self.renderer.set_env(env)
+                self._env_mode = "hdr"
+                self._hdr_file = entry["file"]
+            self._interactive()
+            return {"ok": True, "mode": self._env_mode,
+                    "file": self._hdr_file if mode == "hdr" else None}
 
     def _interactive(self) -> None:
         """Mark a camera/settings input: drop to the fast preview scale."""
@@ -577,7 +681,13 @@ class ViewerState:
 
         with self.lock:
             if "enabled" in updates:
-                self._sky_enabled = bool(updates.pop("enabled"))
+                self._env_mode = ("sky" if bool(updates.pop("enabled"))
+                                  else "off")
+            elif self._env_mode == "hdr":
+                # Touching a sky slider while an HDR env is active switches
+                # back to the analytic sky (the reference's env select and
+                # sky sliders are one state surface).
+                self._env_mode = "sky"
             params = dict(self._sky)
             for key, value in updates.items():
                 if key in ("width", "height"):
@@ -621,8 +731,18 @@ class ViewerState:
         try:
             probe = float(spec.get("probe_radius", 1.4))
             resolution = float(spec.get("surface_resolution", 0.5))
+            # Volume-import controls (index.html:653-674: grid spacing
+            # 0.2-1.5 Å, gaussian radius scale 1-6 x VdW).
+            vol_spacing = float(spec.get("grid_spacing", 0.5))
+            vol_gauss = float(spec.get("gaussian_scale", 3.0))
         except (TypeError, ValueError):
-            return {"ok": False, "error": "bad probe/resolution"}
+            return {"ok": False, "error": "bad probe/resolution/volume params"}
+        if not 0.2 <= vol_spacing <= 1.5:
+            return {"ok": False,
+                    "error": f"grid_spacing out of range: {vol_spacing}"}
+        if not 1.0 <= vol_gauss <= 6.0:
+            return {"ok": False,
+                    "error": f"gaussian_scale out of range: {vol_gauss}"}
         # Same limits the CLI enforces: probe in the reference slider's
         # range, resolution floored so a stray 0.01 can't build a 1e9-cell
         # grid on a live server (index.html surface controls).
@@ -659,7 +779,10 @@ class ViewerState:
                     loaded = load_molecule_scene(
                         mol, display_style=style, show_surface=surface,
                         probe_radius=probe, surface_resolution=resolution,
-                        volume_enabled=volume, logger=self.logger)
+                        volume_enabled=volume,
+                        volume_options=dict(spacing=vol_spacing,
+                                            gaussian_scale=vol_gauss),
+                        logger=self.logger)
             except Exception as exc:   # surface load failures as 200+error,
                 if self.logger:        # like the reference's status log
                     self.logger.error(f"scene load failed: {exc}")
@@ -702,6 +825,8 @@ def _make_handler(state: ViewerState):
                 self._send(200, state.frame_png(), "image/png")
             elif path == "/state":
                 self._send(200, json.dumps(state.state()).encode())
+            elif path == "/envs":
+                self._send(200, json.dumps(state.env_manifest()).encode())
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -724,6 +849,9 @@ def _make_handler(state: ViewerState):
                 state.update_light(int(body.pop("index", -1)), body)
             elif path == "/sky":
                 self._send(200, json.dumps(state.update_sky(body)).encode())
+                return
+            elif path == "/env":
+                self._send(200, json.dumps(state.update_env(body)).encode())
                 return
             elif path == "/load":
                 self._send(200, json.dumps(state.load_scene(body)).encode())
@@ -797,6 +925,8 @@ def asgi_app(renderer, logger=None, sky_params=None, env_enabled=True):
                 h = state.hover(float(q.get("x", ["0"])[0]),
                                 float(q.get("y", ["0"])[0]))
                 await respond(200, json.dumps(h).encode())
+            elif path == "/envs":
+                await respond(200, json.dumps(state.env_manifest()).encode())
             else:
                 await respond(404, b'{"error": "not found"}')
         elif method == "POST":
@@ -822,6 +952,9 @@ def asgi_app(renderer, logger=None, sky_params=None, env_enabled=True):
                 state.update_light(int(data.pop("index", -1)), data)
             elif path == "/sky":
                 await respond(200, json.dumps(state.update_sky(data)).encode())
+                return
+            elif path == "/env":
+                await respond(200, json.dumps(state.update_env(data)).encode())
                 return
             elif path == "/load":
                 await respond(200, json.dumps(state.load_scene(data)).encode())
