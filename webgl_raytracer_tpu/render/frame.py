@@ -29,31 +29,76 @@ def _accumulate(prev, color, frame_index):
     return jnp.where(frame_index == 0, color, (prev * fi + color) / (fi + 1.0))
 
 
-@partial(jax.jit, static_argnames=("flags", "count"))
+@partial(jax.jit, static_argnames=("flags", "count", "pool"))
 def _render_frames_fused(scene, env, vol, flags, u, px, py, start_frame, prev,
-                         count):
+                         count, pool=1):
     """`count` progressive frames folded into one device program (a scan
     over the frame index) — amortizes per-launch overhead, which dominates
     when the chip sits behind a high-latency tunnel. The accumulator runs
     in component form (three [B] carries): a [B, 3] carry's 3-wide minor
     axis tiles to 128 lanes on TPU, turning every accumulate into ~42x
-    the necessary HBM traffic."""
+    the necessary HBM traffic.
+
+    pool > 1: CROSS-FRAME LANE POOLING — each scan step traces `pool`
+    consecutive frames' rays as ONE [pool*B] batch (per-lane frame
+    indices; every sample keeps its sequential-render seed). Progressive
+    frames are independent, so pooling them packs the late-bounce
+    live-lane tails of several frames into shared traversal blocks and
+    halves (at pool=2) the per-frame share of every fixed per-launch
+    cost: chunk machinery, dead-block floors, the low-occupancy tail the
+    32-lane block permutation can't compact. The accumulator folds each
+    sub-frame sequentially, so the running mean's arithmetic matches the
+    unpooled path exactly for identical per-frame colors (batch-shape
+    knife-edge flips aside — the familiar formulation-switch noise,
+    STATUS 'Measured perf truths'). Requires count % pool == 0."""
     from .integrator import render_batch_v3
 
+    assert count % pool == 0
+    n = px.shape[0]
+    if pool > 1:
+        px_p = jnp.concatenate([px] * pool)
+        py_p = jnp.concatenate([py] * pool)
+        off = jnp.concatenate([jnp.full((n,), j, jnp.int32)
+                               for j in range(pool)])
+    else:
+        px_p, py_p = px, py
+
     def step(accum, k):
-        frame_index = start_frame + k
-        color = render_batch_v3(scene, env, vol, flags, u, px, py,
-                                frame_index.astype(jnp.uint32))
-        fi = frame_index.astype(jnp.float32)
-        accum = tuple(
-            jnp.where(frame_index == 0, color[c],
-                      (accum[c] * fi + color[c]) / (fi + 1.0))
-            for c in range(3))
+        base = start_frame + k * pool
+        if pool == 1:
+            fidx = base.astype(jnp.uint32)
+        else:
+            fidx = (base + off).astype(jnp.uint32)
+        color = render_batch_v3(scene, env, vol, flags, u, px_p, py_p, fidx)
+        for j in range(pool):
+            fj = base + j
+            cj = (color if pool == 1
+                  else tuple(c[j * n:(j + 1) * n] for c in color))
+            fi = fj.astype(jnp.float32)
+            accum = tuple(
+                jnp.where(fj == 0, cj[c],
+                          (accum[c] * fi + cj[c]) / (fi + 1.0))
+                for c in range(3))
         return accum, None
 
     prev3 = (prev[:, 0], prev[:, 1], prev[:, 2])
-    accum, _ = jax.lax.scan(step, prev3, jnp.arange(count, dtype=jnp.int32))
+    accum, _ = jax.lax.scan(step, prev3,
+                            jnp.arange(count // pool, dtype=jnp.int32))
     return jnp.stack(accum, axis=-1)
+
+
+def _frame_pool(flags, count: int, n: int) -> int:
+    """Frames pooled per scan step (WRT_POOL, default 1 pending the
+    on-chip race — tools/bench_pool.py). Pooling is restricted to the
+    single-chip wavefront path; count must split evenly."""
+    import os
+
+    pool = int(os.environ.get("WRT_POOL", "1"))
+    if (pool <= 1 or count % pool or flags.vis_mode > 0
+            or flags.tracer != "wavefront" or flags.distributed
+            or os.environ.get("WRT_MEGAKERNEL")):
+        return 1   # the megakernel's in-kernel ray gen takes a scalar frame
+    return pool
 
 
 class Renderer:
@@ -361,6 +406,7 @@ class Renderer:
         self._accum = _render_frames_fused(
             self.scene, self.env, self.volume, flags, uniforms, px, py,
             jnp.int32(self.frame_index), prev, count,
+            pool=_frame_pool(flags, count, px.shape[0]),
         )
         self.frame_index += count
         return True
