@@ -63,11 +63,21 @@ def run_one(frames: int, reps: int) -> None:
 
     enable_compilation_cache()
     mol = os.environ.get("RACE_MOLECULE")
-    if mol:
+    pdb = os.environ.get("RACE_PDB")
+    if mol or pdb:
         from webgl_raytracer_tpu.app.pipeline import load_molecule_scene
-        from webgl_raytracer_tpu.models import get_builtin_molecule
+        from webgl_raytracer_tpu.models import (get_builtin_molecule,
+                                                parse_auto_detect)
 
-        scene = load_molecule_scene(get_builtin_molecule(mol)).scene
+        if pdb:
+            with open(pdb, encoding="utf-8") as f:
+                m = parse_auto_detect(f.read(), pdb)
+        else:
+            m = get_builtin_molecule(mol)
+        scene = load_molecule_scene(
+            m, display_style=os.environ.get("RACE_STYLE", "ball-and-stick"),
+            show_surface=bool(os.environ.get("RACE_SURFACE")),
+        ).scene
     else:
         n_spheres = int(os.environ.get("RACE_SPHERES") or 1000)
         scene = compile_scene(random_sphere_geometry(n_spheres))
@@ -116,7 +126,7 @@ def matrix(variants, label, frames: int, reps: int, rounds: int = 2) -> None:
         "what": f"race_frame {label}: {w}x{h} production frame, one variant "
                 "per process, round-robin best-of "
                 f"({rounds} rounds x {reps} reps x {frames}-frame blocks)",
-        "scene": os.environ.get("RACE_MOLECULE")
+        "scene": os.environ.get("RACE_PDB") or os.environ.get("RACE_MOLECULE")
                  or f"spheres{os.environ.get('RACE_SPHERES', '1000')}",
         "results": results,
     }

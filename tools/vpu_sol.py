@@ -25,22 +25,29 @@ from jax.experimental.pallas import tpu as pltpu
 B, C = 1024, 128
 
 
-def make_kernel(iters):
+def make_kernel(iters, dtype=jnp.float32):
+    """dtype=bfloat16 measures the same op mix in bf16 (VPU registers pack
+    two bf16 per f32 word; whether the ALUs execute packed-2x on this chip
+    is exactly what this probe decides before any bf16 traversal work —
+    VERDICT r03 item 6). Inputs convert once outside the loop; the
+    accumulator and compares stay in the compute dtype."""
+    big = jnp.asarray(1e20 if dtype == jnp.float32 else 3e38, dtype)
+
     def kernel(a_ref, s_ref, out_ref, bt_ref):
-        dx = a_ref[:, 0:1]
-        dy = a_ref[:, 1:2]
-        dz = a_ref[:, 2:3]
-        ox = a_ref[:, 3:4]
-        oy = a_ref[:, 4:5]
-        oz = a_ref[:, 5:6]
-        tmin = a_ref[:, 6:7]
-        bt_ref[:] = jnp.full((B, C), 1e20, jnp.float32)
+        dx = a_ref[:, 0:1].astype(dtype)
+        dy = a_ref[:, 1:2].astype(dtype)
+        dz = a_ref[:, 2:3].astype(dtype)
+        ox = a_ref[:, 3:4].astype(dtype)
+        oy = a_ref[:, 4:5].astype(dtype)
+        oz = a_ref[:, 5:6].astype(dtype)
+        tmin = a_ref[:, 6:7].astype(dtype)
+        bt_ref[:] = jnp.full((B, C), big, dtype)
 
         def body(k, carry):
-            kf = k.astype(jnp.float32) * 1e-3
-            cx = s_ref[pl.ds(3 * (k % 8), 1), :] + kf
-            cy = s_ref[pl.ds(3 * (k % 8) + 1, 1), :] + kf
-            cz = s_ref[pl.ds(3 * (k % 8) + 2, 1), :] + kf
+            kf = k.astype(dtype) * dtype(1e-3)
+            cx = s_ref[pl.ds(3 * (k % 8), 1), :].astype(dtype) + kf
+            cy = s_ref[pl.ds(3 * (k % 8) + 1, 1), :].astype(dtype) + kf
+            cz = s_ref[pl.ds(3 * (k % 8) + 2, 1), :].astype(dtype) + kf
             sx = ox - cx
             sy = oy - cy
             sz = oz - cz
@@ -50,31 +57,30 @@ def make_kernel(iters):
             sq = jnp.sqrt(disc)
             t0 = -b - sq
             ts = jnp.where(t0 > tmin, t0, -b + sq)
-            ts = jnp.where(ts > tmin, ts, -1.0)
+            ts = jnp.where(ts > tmin, ts, dtype(-1.0))
             bt = bt_ref[:]
-            upd = (ts > 0.0) & (ts < bt)
+            upd = (ts > dtype(0.0)) & (ts < bt)
             bt_ref[:] = jnp.where(upd, ts, bt)
             return carry
 
         jax.lax.fori_loop(0, iters, body, 0)
-        out_ref[:] = jnp.min(bt_ref[:], axis=1)
+        out_ref[:] = jnp.min(bt_ref[:], axis=1).astype(jnp.float32)
 
     return kernel
 
 
-def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+def run(iters, dtype):
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(B, 16)).astype(np.float32))
     s = jnp.asarray(rng.normal(size=(24, C)).astype(np.float32))
 
     fn = pl.pallas_call(
-        make_kernel(iters),
+        make_kernel(iters, dtype),
         out_shape=jax.ShapeDtypeStruct((B,), jnp.float32),
         in_specs=[pl.BlockSpec((B, 16), lambda: (0, 0)),
                   pl.BlockSpec((24, C), lambda: (0, 0))],
         out_specs=pl.BlockSpec((B,), lambda: (0,)),
-        scratch_shapes=[pltpu.VMEM((B, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, C), dtype)],
     )
     jitted = jax.jit(fn)
     out = jitted(a, s)
@@ -87,8 +93,17 @@ def main():
         best = min(best, time.perf_counter() - t0)
     per_sweep_ns = best / iters * 1e9
     ops = 24 * B * C
-    print(f"iters={iters} total={best*1e3:.3f} ms  per-sweep={per_sweep_ns:.0f} ns"
+    print(f"{np.dtype(dtype).name:9s} iters={iters} total={best*1e3:.3f} ms"
+          f"  per-sweep={per_sweep_ns:.0f} ns"
           f"  ~{ops/ (per_sweep_ns*1e-9) / 1e12:.2f} Tops/s effective")
+    return per_sweep_ns
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    f32 = run(iters, jnp.float32)
+    bf16 = run(iters, jnp.bfloat16)
+    print(f"bf16 speedup over f32: {f32 / bf16:.2f}x")
 
 
 if __name__ == "__main__":

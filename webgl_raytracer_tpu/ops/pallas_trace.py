@@ -812,7 +812,17 @@ def _make_any3_kernel(types, kpad, clip_on=False, with_cost=False):
     4 a2 as f32), 7 unused, 8 t_min, 9 accept_lo, 10-12 d1, 13-15 d2.
     t_max is fixed at BIG (shadow/NEE rays are unbounded; picking-style
     bounded queries keep the single-ray kernel). Output: one int32
-    bitmask per lane (bit j = direction j occluded)."""
+    bitmask per lane (bit j = direction j occluded).
+
+    WRT_ANY3_GATE=1 adds per-direction saturation gates (three [BLOCK]
+    scalar reduces per visited cluster) that skip a direction's sweep
+    once every lane has it resolved. Raced on TPU v5e (RACE_any3.json,
+    1000-sphere 1080p, round 4): ungated 110.1 / concat [3N] 113.9 /
+    gated 118.7 ms — the gates' reduce+branch cost exceeds the sweeps
+    they skip (most clusters still have an unresolved direction
+    somewhere in the block), so unconditional 3-direction sweeps are the
+    default and the gate stays as a knob."""
+    per_dir_gate = os.environ.get("WRT_ANY3_GATE", "0") == "1"
 
     def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
                ct_ref, found_out, *rest):
@@ -866,13 +876,8 @@ def _make_any3_kernel(types, kpad, clip_on=False, with_cost=False):
 
                 for j in range(3):
                     fr = frefs[j]
-                    # Skip a direction every lane has already resolved —
-                    # occlusion saturates, so late sweeps usually run for
-                    # one or two directions only.
-                    go = jnp.min(fr[:]) == 0
 
-                    @pl.when(go)
-                    def _(j=j, fr=fr):
+                    def sweep_dir(j=j, fr=fr):
                         def apply(ts):
                             hit = jnp.any((ts > lo_col) & (ts < BIG),
                                           axis=1)
@@ -881,8 +886,18 @@ def _make_any3_kernel(types, kpad, clip_on=False, with_cost=False):
                         _sweep_cluster(cols_j[j], soa_ref, k, types, clip,
                                        ct_ref, apply)
 
-                    if with_cost:
-                        nswept = nswept + go.astype(jnp.int32)
+                    if per_dir_gate:
+                        # Skip a direction every lane has already
+                        # resolved — occlusion saturates, so late sweeps
+                        # usually run for one or two directions only.
+                        go = jnp.min(fr[:]) == 0
+                        pl.when(go)(sweep_dir)
+                        if with_cost:
+                            nswept = nswept + go.astype(jnp.int32)
+                    else:
+                        sweep_dir()
+                        if with_cost:
+                            nswept = nswept + 1
                 ev = jnp.where(kio == k, INF, ev)
                 e, k = _pop_nearest(ev, kio)
                 # Stop once every lane's three queries are resolved.
