@@ -161,11 +161,16 @@ def _scene_leg(count: int, frames: int, reps: int, timeout_s: float):
     or {"skipped"/"error": reason}."""
     if timeout_s < 30.0:
         return {"skipped": "budget"}
+    env = dict(os.environ)
+    # Cross-frame pooling (render/frame.py): semantically equivalent
+    # progressive rendering, raced on-chip in RACE_pool.json (pool=3
+    # 108.1 vs unpooled 110.0 ms on the headline scene).
+    env.setdefault("WRT_POOL", "3")
     try:
         out = subprocess.run(
             [sys.executable, __file__, "--leg", str(count), str(frames),
              str(reps)],
-            capture_output=True, text=True, timeout=timeout_s)
+            capture_output=True, text=True, timeout=timeout_s, env=env)
         stdout = out.stdout or ""
         if out.returncode != 0:
             tail = (out.stderr or "").strip().splitlines()[-3:]
