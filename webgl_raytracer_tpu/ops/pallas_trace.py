@@ -758,34 +758,54 @@ def _make_any_kernel(types, kpad, clip_on=False, with_cost=False):
     return kernel
 
 
-def _block_entries_multi(kpad, bbT_ref, bgT_ref, ods, ev_ref):
+def _block_entries_multi(kpad, bbT_ref, bgT_ref, ods, ev_ref,
+                         ev_dir_refs=None):
     """_block_entries generalized to SEVERAL ray sets per lane: the entry
     distance of a cluster is the nearest entry over every live ray of
     every set (the fused shadow fan shares one worklist across its three
-    directions). Same two-level group refinement as _block_entries."""
+    directions). Same two-level group refinement as _block_entries.
+
+    ev_dir_refs: optional per-direction [1, kpad] scratch refs — filled
+    with each direction's OWN entry vector (INF where no live ray of
+    that direction enters the cluster), which the relevance-gated sweep
+    (WRT_ANY3_GATE=2) reads to skip direction/cluster pairs the slab
+    test already proved empty."""
     kio = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
 
-    def ent(boxT):
-        e = _slab_sweep(boxT, ods[0])
-        for od in ods[1:]:
-            e = jnp.minimum(e, _slab_sweep(boxT, od))
+    def each(boxT):
+        return [_slab_sweep(boxT, od) for od in ods]
+
+    def combined(ents):
+        e = ents[0]
+        for x in ents[1:]:
+            e = jnp.minimum(e, x)
         return e
 
     ngroups = kpad // 128
     if ngroups == 1:
-        ev_ref[:] = ent(bbT_ref[:, :])
+        ents = each(bbT_ref[:, :])
+        if ev_dir_refs is not None:
+            for ref, e in zip(ev_dir_refs, ents):
+                ref[:] = e
+        ev_ref[:] = combined(ents)
         return kio
 
     ev_ref[:] = jnp.full((1, kpad), INF, jnp.float32)
-    gent = ent(bgT_ref[:, :])                              # [1, 128]
+    if ev_dir_refs is not None:
+        for ref in ev_dir_refs:
+            ref[:] = jnp.full((1, kpad), INF, jnp.float32)
+    gent = combined(each(bgT_ref[:, :]))                   # [1, 128]
     gio = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     for g in range(ngroups):
         touched = jnp.min(jnp.where(gio == g, gent, INF)) < BIG
 
         @pl.when(touched)
         def _(g=g):
-            ev_ref[0, g * 128:(g + 1) * 128] = ent(
-                bbT_ref[:, g * 128:(g + 1) * 128])[0, :]
+            ents = each(bbT_ref[:, g * 128:(g + 1) * 128])
+            if ev_dir_refs is not None:
+                for ref, e in zip(ev_dir_refs, ents):
+                    ref[0, g * 128:(g + 1) * 128] = e[0, :]
+            ev_ref[0, g * 128:(g + 1) * 128] = combined(ents)[0, :]
 
     return kio
 
@@ -814,22 +834,29 @@ def _make_any3_kernel(types, kpad, clip_on=False, with_cost=False):
     bounded queries keep the single-ray kernel). Output: one int32
     bitmask per lane (bit j = direction j occluded).
 
-    WRT_ANY3_GATE=1 adds per-direction saturation gates (three [BLOCK]
-    scalar reduces per visited cluster) that skip a direction's sweep
-    once every lane has it resolved. Raced on TPU v5e (RACE_any3.json,
-    1000-sphere 1080p, round 4): ungated 110.1 / concat [3N] 113.9 /
-    gated 118.7 ms — the gates' reduce+branch cost exceeds the sweeps
-    they skip (most clusters still have an unresolved direction
-    somewhere in the block), so unconditional 3-direction sweeps are the
-    default and the gate stays as a knob."""
-    per_dir_gate = os.environ.get("WRT_ANY3_GATE", "0") == "1"
+    WRT_ANY3_GATE picks the per-direction sweep-skip policy, raced on
+    TPU v5e (RACE_any3.json, 1000-sphere 1080p, round 4):
+      0  unconditional 3-direction sweeps per popped cluster;
+      1  saturation gates — skip a direction once every lane has it
+         resolved (three [BLOCK] reduces per cluster). LOSES: 118.7 ms
+         vs ungated 110.1 vs concat [3N] 113.9 — the reduce+branch cost
+         exceeds the sweeps it skips;
+      2  relevance gates (default) — skip direction j on cluster k when
+         NO live ray of direction j enters k (per-direction entry
+         vectors from the slab pass; the gate is one [1, kpad] masked
+         reduce, ~8x cheaper than mode 1's, and prunes exactly the
+         dir/cluster pairs the concatenated launch never swept — e.g.
+         the rim light's clusters against the key light's fan)."""
+    gate_mode = os.environ.get("WRT_ANY3_GATE", "2")
 
     def kernel(num_k_ref, od_ref, soa_ref, bbT_ref, bgT_ref, cp_ref,
                ct_ref, found_out, *rest):
         if with_cost:
-            cost_out, f0_ref, f1_ref, f2_ref, ev_ref = rest
+            cost_out, f0_ref, f1_ref, f2_ref, ev_ref, e0_ref, e1_ref, \
+                e2_ref = rest
         else:
-            f0_ref, f1_ref, f2_ref, ev_ref = rest
+            f0_ref, f1_ref, f2_ref, ev_ref, e0_ref, e1_ref, e2_ref = rest
+        ev_dir_refs = (e0_ref, e1_ref, e2_ref)
         num_k = num_k_ref[0]
         clip = (((cp_ref[0], cp_ref[1], cp_ref[2]), cp_ref[3], cp_ref[4])
                 if clip_on else None)
@@ -865,7 +892,9 @@ def _make_any3_kernel(types, kpad, clip_on=False, with_cost=False):
             f1_ref[:] = (a1 <= 0.0).astype(jnp.int32)
             f2_ref[:] = (a2 <= 0.0).astype(jnp.int32)
             frefs = (f0_ref, f1_ref, f2_ref)
-            kio = _block_entries_multi(kpad, bbT_ref, bgT_ref, ods, ev_ref)
+            kio = _block_entries_multi(
+                kpad, bbT_ref, bgT_ref, ods, ev_ref,
+                ev_dir_refs=ev_dir_refs if gate_mode == "2" else None)
             ev0 = ev_ref[:]
 
             def cond(carry):
@@ -886,11 +915,21 @@ def _make_any3_kernel(types, kpad, clip_on=False, with_cost=False):
                         _sweep_cluster(cols_j[j], soa_ref, k, types, clip,
                                        ct_ref, apply)
 
-                    if per_dir_gate:
-                        # Skip a direction every lane has already
-                        # resolved — occlusion saturates, so late sweeps
-                        # usually run for one or two directions only.
+                    if gate_mode == "1":
+                        # Saturation gate (raced, loses — see docstring).
                         go = jnp.min(fr[:]) == 0
+                        pl.when(go)(sweep_dir)
+                        if with_cost:
+                            nswept = nswept + go.astype(jnp.int32)
+                    elif gate_mode == "2":
+                        # Relevance gate: the slab pass already proved
+                        # whether any live ray of direction j enters k —
+                        # skipping a non-entered cluster cannot change
+                        # that direction's occlusion (its prims lie
+                        # inside the AABB the ray misses).
+                        go = jnp.min(jnp.where(kio == k,
+                                               ev_dir_refs[j][:],
+                                               INF)) < BIG
                         pl.when(go)(sweep_dir)
                         if with_cost:
                             nswept = nswept + go.astype(jnp.int32)
@@ -930,7 +969,9 @@ def _grid_call3(kernel, n_pad, k, outs, od, soa, bbT, bgT, cp, ct,
     nb = n_pad // BLOCK
     kp = _kpad(k)
     scratch = [pltpu.VMEM((BLOCK,), jnp.int32) for _ in range(3)]
-    scratch.append(pltpu.VMEM((1, kp), jnp.float32))
+    # Combined worklist entries + the three per-direction entry vectors
+    # (the relevance gate's input; dead weight in the other gate modes).
+    scratch.extend(pltpu.VMEM((1, kp), jnp.float32) for _ in range(4))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
