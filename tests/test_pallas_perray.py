@@ -315,15 +315,9 @@ def test_multigroup_any_and_cost(multigroup_scene):
     hit = np.asarray(rb) >= 0
     assert (np.asarray(cp) <= np.asarray(cb)).all()
     assert np.asarray(cp)[hit].mean() < np.asarray(cb)[hit].mean()
-    # Multi-group scenes qualify for the secondary auto-routing only via
-    # the opt-in (unraced on real hardware; see perray_auto_secondary).
-    assert not PS.perray_auto_secondary(multigroup_scene)
-    import os
-    os.environ["WRT_PERRAY_MULTI"] = "1"
-    try:
-        assert PS.perray_auto_secondary(multigroup_scene)
-    finally:
-        del os.environ["WRT_PERRAY_MULTI"]
+    # Multi-group scenes qualify for the secondary auto-routing since the
+    # round-4 on-chip race (3.8x secondary at K=1984, RACE_perray_150k).
+    assert PS.perray_auto_secondary(multigroup_scene)
 
 
 def test_multigroup_masked_matches_block(multigroup_scene):

@@ -213,18 +213,26 @@ def main() -> None:
 
         acc_dev = None
         if not args.oracle_only:
-            # ONE fused device program for the whole accumulation (the
-            # production render_frames scan): a per-frame render_batch
-            # loop pays the tunnel's 25-270 ms dispatch floor N times —
-            # the 256-frame glass rows alone ran for 30+ minutes that way
-            # (round 4). Accumulation arithmetic is the production
-            # (prev*N + x)/(N+1) fold either way.
+            # Fused device accumulation in blocks of <= 16 frames (the
+            # production render_frames scan, resumed via start_frame +
+            # prev): a per-frame render_batch loop pays the tunnel's
+            # 25-270 ms dispatch floor N times — the 256-frame glass
+            # rows alone ran 30+ minutes that way (round 4) — while a
+            # single 64-256-frame scan crashed the TPU worker twice
+            # ("TPU worker process crashed or restarted") — block-capped
+            # scans do neither. Accumulation arithmetic is the
+            # production (prev*N + x)/(N+1) fold either way.
             from webgl_raytracer_tpu.render.frame import _render_frames_fused
 
             prev = jnp.zeros((px.shape[0], 3), jnp.float32)
-            acc_dev = np.asarray(_render_frames_fused(
-                r.scene, r.env, vol, flags, u, px, py, jnp.int32(0), prev,
-                n_frames))
+            done = 0
+            while done < n_frames:
+                blk = min(16, n_frames - done)
+                prev = _render_frames_fused(
+                    r.scene, r.env, vol, flags, u, px, py, jnp.int32(done),
+                    prev, blk)
+                done += blk
+            acc_dev = np.asarray(prev)
         for f in range(n_frames):
             if need_oracle:
                 co = oracle_chunked(loaded.scene, env, vol_np, flags, u_np,

@@ -1706,19 +1706,20 @@ PERRAY_MIN_CLUSTERS = 64
 def perray_auto_secondary(scene) -> bool:
     """Should a SECONDARY-bounce closest trace use the per-ray kernels?
 
-    The single-group single-type/sph+cyl modes are measured winners
-    on-chip (2.0-2.25x at K=127). The two-level (>128 clusters) and
-    three-type bodies are interpret-validated but NOT yet raced on real
-    hardware, so they are opt-in (WRT_PERRAY_MULTI=1, or WRT_PERRAY=1
-    per trace) until tools/tpu_smoke.py + bench_traversal.py pass on
-    them — a Mosaic rejection or a regression inside the production
-    frame would be far worse than the block-kernel fallback."""
-    if not (perray_supported(scene)
-            and scene.num_clusters >= PERRAY_MIN_CLUSTERS):
-        return False
-    proven = (_kpad(scene.num_clusters) <= 128
-              and sum(_perray_mode(scene)[1]) <= 2)
-    return proven or os.environ.get("WRT_PERRAY_MULTI") == "1"
+    Every mode is now a measured on-chip winner at K >=
+    PERRAY_MIN_CLUSTERS (tools/tpu_smoke.py compiled-equivalence +
+    tools/bench_traversal.py races, round 4):
+      - single-group single-type / sph+cyl: 2.0-2.25x at K=127 (round 3);
+      - TWO-LEVEL (>128 clusters): 3.8x secondary / 4.0x dense-secondary
+        / 3.5x dense env-NEE on 150k spheres at K=1984
+        (RACE_perray_150k.json);
+      - THREE-TYPE (cartoon/SES tri-mixes): 2.0x dense-secondary / 1.5x
+        dense env-NEE on the TSTP cartoon at K=185
+        (RACE_perray_cartoon.json).
+    Primary (coherent) and co-directional shadow batches stay on the
+    block kernels at every size (0.64-0.96x / 0.86-1.13x there)."""
+    return (perray_supported(scene)
+            and scene.num_clusters >= PERRAY_MIN_CLUSTERS)
 
 
 def perray_auto_any(scene, divergent=False) -> bool:
