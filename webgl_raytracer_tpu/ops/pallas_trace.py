@@ -1713,13 +1713,22 @@ def perray_auto_secondary(scene) -> bool:
       - TWO-LEVEL (>128 clusters): 3.8x secondary / 4.0x dense-secondary
         / 3.5x dense env-NEE on 150k spheres at K=1984
         (RACE_perray_150k.json);
-      - THREE-TYPE (cartoon/SES tri-mixes): 2.0x dense-secondary / 1.5x
-        dense env-NEE on the TSTP cartoon at K=185
-        (RACE_perray_cartoon.json).
     Primary (coherent) and co-directional shadow batches stay on the
-    block kernels at every size (0.64-0.96x / 0.86-1.13x there)."""
-    return (perray_supported(scene)
-            and scene.num_clusters >= PERRAY_MIN_CLUSTERS)
+    block kernels at every size (0.64-0.96x / 0.86-1.13x there).
+
+    THREE-TYPE tri-mixes (cartoon/SES) stay OPT-IN (WRT_PERRAY_TRIMIX=1):
+    they win the isolated dense-population races (2.0x dense-secondary /
+    1.5x dense env-NEE on the TSTP cartoon at K=185,
+    RACE_perray_cartoon.json) but LOSE the production frame (247.8 block
+    vs 256.3 ms routed, RACE_frame_cartoon.json) — at the scene's 0.5%
+    hit fraction the real per-bounce batches are far smaller than the
+    benchmark's full-width populations, and the per-step pop + one-hot
+    gather overhead outweighs the union savings on tiny live sets."""
+    if not (perray_supported(scene)
+            and scene.num_clusters >= PERRAY_MIN_CLUSTERS):
+        return False
+    return (sum(_perray_mode(scene)[1]) <= 2
+            or os.environ.get("WRT_PERRAY_TRIMIX") == "1")
 
 
 def perray_auto_any(scene, divergent=False) -> bool:
