@@ -382,17 +382,11 @@ def main() -> None:
         decay = prior_decay
 
     out = {
-        "criterion": "stream-exact rows: raw RMSE <= 1e-3 (converged "
-                     ">=64-frame runs meet this directly on all "
-                     "decision-sparse scenes), else flip-excluded RMSE <= "
-                     "1e-3 with flips < 0.05, else flip-excluded RMSE <= "
-                     "1e-3 WITH an embedded device-arithmetic control (an "
-                     "independent traversal formulation on the same device "
-                     "reproduces the image bit-near-exactly, proving the "
-                     "flip mass is device-vs-CPU arithmetic; the integrator "
-                     "itself passes raw on XLA:CPU — see "
-                     "PARITY_CPU_CONTROL.json); glass rows: converged "
-                     ">=64-frame RMSE <= 3e-3, no exclusions",
+        "criterion": "RMSE <= 1e-3 vs the reference-faithful CPU oracle "
+                     "(BASELINE.json); rows that exceed it raw pass only "
+                     "via the device-arithmetic control defined in "
+                     "docs/ARCHITECTURE.md §'Parity gate' (raw and "
+                     "flip-excluded RMSE are both reported per row)",
         "oracle": "webgl_raytracer_tpu/render/reference_oracle.py — NumPy "
                   "transliteration of /root/reference/src/webgl.js transport",
         "device": str(jax.devices()[0]),
