@@ -112,6 +112,12 @@ def main() -> None:
     sky = envc.load_analytic_sky(width=128, height=64)
     sun_hdr = envc.load_hdr_file(
         os.path.join(REPO, "assets", "env", "sunny_sky_256x128.hdr"))
+    # Photographic-class 1024x512 RGBE probe (the reference's bundled CC0
+    # Polyhaven asset, /root/reference/assets/env/kloofendal_overcast_1k.hdr)
+    # — exercises the (H+1) marginal / (W+1)xH conditional CDF path at
+    # reference resolution on real multi-modal luminance data.
+    kloof_hdr = envc.load_hdr_file(
+        os.path.join(REPO, "assets", "env", "kloofendal_overcast_1k.hdr"))
 
     def molecule(name, **kw):
         return load_molecule_scene(get_builtin_molecule(name), **kw)
@@ -132,6 +138,8 @@ def main() -> None:
          dict(material_mode="metallic", env_intensity=0.4), {}),
         ("caffeine-hdr-sun", molecule("caffeine"), sun_hdr,
          dict(material_mode="metallic", env_intensity=0.4), {}),
+        ("caffeine-hdr-1k", molecule("caffeine"), kloof_hdr,
+         dict(material_mode="metallic", env_intensity=0.4), {}),
         ("caffeine-dof", molecule("caffeine"), None,
          dict(material_mode="metallic", dof_enabled=True, dof_aperture=0.05),
          {}),
@@ -143,8 +151,11 @@ def main() -> None:
         ("aspirin-stick", load_molecule_scene(get_builtin_molecule("aspirin"),
                                               display_style="stick"), None,
          dict(material_mode="metallic"), {}),
+        # 64 frames like every other stream-exact row (VERDICT r04 item 5);
+        # the oracle side is slow on this mixed tri/sphere/cyl scene —
+        # use --oracle-cache to amortize across runs.
         ("tstp-cartoon", protein_cartoon(), None,
-         dict(material_mode="matte"), dict(frames=3)),
+         dict(material_mode="matte"), dict(frames=64)),
         ("spheres1000", load_random_spheres(1000), None,
          dict(material_mode="metallic"), {}),
         # Glass modes consume RNG draws divergently between the oracle (the
