@@ -50,7 +50,7 @@ import time
 
 import numpy as np
 
-BUDGET_S = float(os.environ.get("WRT_BENCH_BUDGET_S", "240"))
+BUDGET_S = float(os.environ.get("WRT_BENCH_BUDGET_S", "420"))
 _T0 = time.monotonic()
 
 
@@ -71,8 +71,33 @@ def random_sphere_geometry(count: int):
     return Geometry(centers, radii, colors, z3, z3, z1, z3)
 
 
-def _ray_counts(count: int, renderer) -> tuple[int, int]:
-    """(path_rays, occl_rays) for frame 0 of the `count`-sphere scene.
+def molecule_geometry(spec: str):
+    """The flagship molecular workload: the bundled deterministic test
+    protein (assets/proteins/TSTP.pdb — the reference's default scene is
+    the 1STP cartoon, index.html:530-551; RCSB fetch needs egress this
+    build doesn't have, so the in-tree protein stands in). spec
+    'tstp' = cartoon ribbons (mixed tri/sphere/cylinder: ribbon mesh +
+    HETATM ligand ball-and-stick); 'tstp_ses' adds the SES surface."""
+    from webgl_raytracer_tpu.app.pipeline import load_molecule_scene
+    from webgl_raytracer_tpu.models import parse_auto_detect
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "assets", "proteins", "TSTP.pdb")) as f:
+        mol = parse_auto_detect(f.read(), "TSTP.pdb")
+    return load_molecule_scene(mol, display_style="cartoon",
+                               show_surface=spec.endswith("ses")).scene
+
+
+def _make_scene(spec: str):
+    from webgl_raytracer_tpu.scene import compile_scene
+
+    if spec.isdigit():
+        return compile_scene(random_sphere_geometry(int(spec)))
+    return molecule_geometry(spec)
+
+
+def _ray_counts(spec: str, renderer) -> tuple[int, int]:
+    """(path_rays, occl_rays) for frame 0 of the scene.
 
     Deterministic in (scene, resolution, settings), so the instrumented
     render — a whole extra kernel compile — runs once ever per scene and
@@ -83,7 +108,8 @@ def _ray_counts(count: int, renderer) -> tuple[int, int]:
     from webgl_raytracer_tpu.render.integrator import render_batch_stats
     from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
 
-    key = f"spheres{count}_1920x1080_default_v2"
+    name = f"spheres{spec}" if spec.isdigit() else spec
+    key = f"{name}_1920x1080_default_v2"
     cache_path = os.path.join(
         os.path.expanduser("~"), ".cache", "webgl_raytracer_tpu",
         "raycounts.json")
@@ -117,9 +143,10 @@ def _ray_counts(count: int, renderer) -> tuple[int, int]:
     return counts
 
 
-def bench_scene(count: int, frames: int, reps: int):
-    """Best-of-reps fused-block timing of `count` random spheres at 1080p.
+def bench_scene(spec: str, frames: int, reps: int):
+    """Best-of-reps fused-block timing of one scene at 1080p.
 
+    spec: a sphere count ('1000') or a molecule spec ('tstp'/'tstp_ses').
     Returns (frame_ms, path_rays, occl_rays). Blocks of `frames` frames
     amortize the tunnel's 25-270 ms per-dispatch floor; best-of-reps rides
     out slice variance (tunnel throughput varies ~3x between slices).
@@ -128,12 +155,11 @@ def bench_scene(count: int, frames: int, reps: int):
     import jax
 
     from webgl_raytracer_tpu.render import Renderer
-    from webgl_raytracer_tpu.scene import compile_scene
 
-    scene = compile_scene(random_sphere_geometry(count))
+    scene = _make_scene(spec)
     r = Renderer(scene, width=1920, height=1080)
     r.settings.tone_map = "linear"
-    path_rays, occl_rays = _ray_counts(count, r)
+    path_rays, occl_rays = _ray_counts(spec, r)
 
     # Warm up the production kernel, then time fused multi-frame blocks.
     r.settings.max_frames = 10 ** 9
@@ -152,7 +178,7 @@ def bench_scene(count: int, frames: int, reps: int):
     return dt * 1000.0, path_rays, occl_rays
 
 
-def _scene_leg(count: int, frames: int, reps: int, timeout_s: float):
+def _scene_leg(spec: str, frames: int, reps: int, timeout_s: float):
     """One scene's measurement in its OWN subprocess (cross-leg state on
     the axon tunnel corrupted an in-process timing once — STATUS round 3).
 
@@ -168,7 +194,7 @@ def _scene_leg(count: int, frames: int, reps: int, timeout_s: float):
     env.setdefault("WRT_POOL", "3")
     try:
         out = subprocess.run(
-            [sys.executable, __file__, "--leg", str(count), str(frames),
+            [sys.executable, __file__, "--leg", spec, str(frames),
              str(reps)],
             capture_output=True, text=True, timeout=timeout_s, env=env)
         stdout = out.stdout or ""
@@ -203,9 +229,10 @@ def _plausible(leg) -> bool:
     return rate is None or rate <= 1000.0
 
 
-def _result_line(device, leg_1k, leg_10k, leg_150k) -> dict:
+def _result_line(device, leg_1k, leg_10k, leg_150k, leg_mol=None) -> dict:
     scaling = {}
-    for name, leg in (("spheres10000", leg_10k), ("spheres150000", leg_150k)):
+    for name, leg in (("spheres10000", leg_10k), ("spheres150000", leg_150k),
+                      ("molecule_tstp_cartoon", leg_mol)):
         if leg is None:
             scaling[name] = {"skipped": "pending"}
         elif "ms" in leg:
@@ -252,16 +279,18 @@ def main() -> None:
     enable_compilation_cache()
 
     if len(sys.argv) > 1 and sys.argv[1] == "--leg":
-        count, frames, reps = (int(a) for a in sys.argv[2:5])
-        ms, path, occl = bench_scene(count, frames, reps)
+        spec = sys.argv[2]
+        frames, reps = int(sys.argv[3]), int(sys.argv[4])
+        ms, path, occl = bench_scene(spec, frames, reps)
         print(json.dumps({"ms": ms, "path": path, "occl": occl}),
               flush=True)
         return
 
     state = {"line": None}
 
-    def _emit(leg_1k, leg_10k, leg_150k, device):
-        state["line"] = _result_line(device, leg_1k, leg_10k, leg_150k)
+    def _emit(leg_1k, leg_10k, leg_150k, device, leg_mol=None):
+        state["line"] = _result_line(device, leg_1k, leg_10k, leg_150k,
+                                     leg_mol)
         print(json.dumps(state["line"]), flush=True)
         try:
             with open("BENCH_PARTIAL.json", "w") as f:
@@ -286,25 +315,45 @@ def main() -> None:
 
     # Headline leg first — everything else is optional detail.
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    leg_1k = _scene_leg(1000, frames, reps=4,
+    leg_1k = _scene_leg("1000", frames, reps=4,
                         timeout_s=max(_remaining() - 10.0, 30.0))
     if "ms" in leg_1k and not _plausible(leg_1k):
-        leg_1k = _scene_leg(1000, frames, reps=4,
+        leg_1k = _scene_leg("1000", frames, reps=4,
                             timeout_s=max(_remaining() - 10.0, 30.0))
     if "ms" not in leg_1k or not _plausible(leg_1k):
         raise SystemExit(f"headline leg failed: {leg_1k}")
     _emit(leg_1k, None, None, device)
 
-    leg_10k = _scene_leg(10000, max(frames // 2, 4), reps=2,
-                         timeout_s=_remaining() - 45.0)
+    leg_10k = _scene_leg("10000", max(frames // 2, 4), reps=2,
+                         timeout_s=min(_remaining() - 240.0, 120.0))
     if not _plausible(leg_10k):
         leg_10k = {"error": "implausible timing (timed reps did not render)"}
     _emit(leg_1k, leg_10k, None, device)
 
-    leg_150k = _scene_leg(150000, 3, reps=2, timeout_s=_remaining() - 5.0)
+    # The 150k leg runs before the molecule leg and gets the bigger share:
+    # VERDICT r04 item 3 — its executable compile is the long pole, so the
+    # persistent compilation cache (enable_compilation_cache above) plus a
+    # one-retry-on-timeout (the first attempt populates the cache; the
+    # retry compiles from disk in seconds) makes it land inside the budget.
+    leg_150k = _scene_leg("150000", 3, reps=2,
+                          timeout_s=_remaining() - 75.0)
+    if "ms" not in leg_150k and "budget" not in leg_150k.get("skipped", ""):
+        retry_budget = _remaining() - 70.0
+        if retry_budget >= 30.0:
+            leg_150k = _scene_leg("150000", 3, reps=2,
+                                  timeout_s=retry_budget)
     if not _plausible(leg_150k):
         leg_150k = {"error": "implausible timing (timed reps did not render)"}
     _emit(leg_1k, leg_10k, leg_150k, device)
+
+    # Flagship molecular workload (VERDICT r04 item 4): the reference's
+    # default scene class — protein cartoon, mixed tri/sphere/cylinder
+    # three-type traversal — at the same 1080p methodology.
+    leg_mol = _scene_leg("tstp", max(frames // 2, 4), reps=2,
+                         timeout_s=_remaining() - 5.0)
+    if not _plausible(leg_mol):
+        leg_mol = {"error": "implausible timing (timed reps did not render)"}
+    _emit(leg_1k, leg_10k, leg_150k, device, leg_mol)
 
 
 if __name__ == "__main__":

@@ -197,3 +197,89 @@ def test_ray_stats_agree_across_transports(frame_env):
     assert stats({"WRT_COMPACT": "1"}) == stats({"WRT_COMPACT": "0"})
     assert (stats({"WRT_WAVEFRONT": "1", "WRT_COMPACT": "0"})
             == stats({"WRT_COMPACT": "0"}))
+
+
+def test_bin_key_modes():
+    """compact.bin_key: spatial cells follow Morton order, octants follow
+    direction signs, and the mode compositions order as documented."""
+    lo = jnp.zeros((3,), jnp.float32)
+    inv = jnp.ones((3,), jnp.float32)
+    o3 = (jnp.asarray([0.05, 0.95]), jnp.asarray([0.05, 0.95]),
+          jnp.asarray([0.05, 0.95]))
+    d3 = (jnp.asarray([1.0, -1.0]), jnp.asarray([1.0, -1.0]),
+          jnp.asarray([1.0, -1.0]))
+    k = np.asarray(CP.bin_key(o3, d3, lo, inv, 3, "cell_oct"))
+    # corner (0,0,0) -> cell 0, octant 0; corner (7,7,7) -> cell 511,
+    # octant 7
+    assert k[0] == 0 and k[1] == 511 * 8 + 7
+    k2 = np.asarray(CP.bin_key(o3, d3, lo, inv, 3, "oct_cell"))
+    assert k2[0] == 0 and k2[1] == 7 * 512 + 511
+    assert np.asarray(CP.bin_key(o3, d3, lo, inv, 3, "oct"))[1] == 7
+    assert np.asarray(CP.bin_key(o3, d3, lo, inv, 3, "cell"))[1] == 511
+
+
+def test_frame_binned_bit_identical(frame_env):
+    """The coherence-binned transport is a pure lane permutation — each
+    lane's RNG stream, shading, and in-lane radiance accumulation are
+    untouched — so the frame must be BIT-identical to the permuted path."""
+    img_b = frame_env({"WRT_BINNED": "1", "WRT_COMPACT": "0"})
+    img_p = frame_env({"WRT_BINNED": "0", "WRT_COMPACT": "0"})
+    assert np.isfinite(img_b).all() and img_b.max() > 0.0
+    np.testing.assert_array_equal(img_b, img_p)
+
+
+def test_frame_binned_key_modes_and_repacks(frame_env):
+    """Every key composition and re-pack count is a different permutation
+    of the same per-lane computation — all must reproduce the frame."""
+    img_p = frame_env({"WRT_BINNED": "0", "WRT_COMPACT": "0"})
+    for knobs in ({"WRT_BIN_KEY": "oct_cell"}, {"WRT_BIN_KEY": "cell"},
+                  {"WRT_BIN_KEY": "oct"}, {"WRT_BIN_REPACKS": "1"},
+                  {"WRT_BIN_REPACKS": "0"}, {"WRT_BIN_CELLS": "2"}):
+        img = frame_env(dict(knobs, WRT_BINNED="1", WRT_COMPACT="0"))
+        np.testing.assert_array_equal(img, img_p)
+
+
+def test_frame_binned_fallback_when_cap_exceeded(frame_env):
+    img_f = frame_env({"WRT_BINNED": "1", "WRT_WF_CAP_DIV": "4096",
+                       "WRT_COMPACT": "0"})
+    img_p = frame_env({"WRT_BINNED": "0", "WRT_COMPACT": "0"})
+    np.testing.assert_array_equal(img_f, img_p)
+
+
+def test_binned_ray_stats_agree(frame_env):
+    from webgl_raytracer_tpu.render.integrator import render_batch_stats
+
+    rng = np.random.default_rng(17)
+    n = 300
+    centers = (rng.random((n, 3)).astype(np.float32) - 0.5) * 16
+    radii = (0.2 + rng.random(n) * 0.4).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    scene = compile_scene(Geometry(centers, radii, colors, z3, z3, z1, z3))
+
+    from webgl_raytracer_tpu.render import Renderer
+    from webgl_raytracer_tpu.render.config import split_settings
+    from webgl_raytracer_tpu.render.lights import light_dirs_for_camera
+
+    r = Renderer(scene, width=64, height=64)
+    basis = r.camera.basis()
+    flags, u = split_settings(
+        r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
+        has_env=False, has_volume=False, clip=None)
+    px, py = r._pixel_grids()
+
+    def stats(knobs):
+        knobs = dict(knobs, WRT_CHUNKS="4")
+        os.environ.update(knobs)
+        try:
+            fn = jax.jit(lambda uu: render_batch_stats(
+                r.scene, None, None, flags, uu, px, py, jnp.uint32(0)))
+            _, rays = fn(u)
+            return int(rays[0]), int(rays[1])
+        finally:
+            for k in knobs:
+                del os.environ[k]
+
+    assert (stats({"WRT_BINNED": "1", "WRT_COMPACT": "0"})
+            == stats({"WRT_COMPACT": "0"}))

@@ -96,6 +96,61 @@ def gather_rows(packed, idx):
                     indices_are_sorted=True)
 
 
+def gather_rows_perm(packed, idx):
+    """[cap, 16] <- packed[idx] for an arbitrary permutation (the binned
+    transport's coherence re-packs): unique but NOT sorted."""
+    return jnp.take(packed, idx, axis=0, unique_indices=True)
+
+
+def _morton3(cx, cy, cz, bits: int):
+    """Interleave `bits` low bits of three i32 grids into a Morton code —
+    the spatial half of the binned transport's coherence key. Unrolled
+    shifts (bits <= 4), all [cap]-wide elementwise."""
+    code = jnp.zeros_like(cx)
+    for b in range(bits):
+        code = (code
+                | (((cx >> b) & 1) << (3 * b + 2))
+                | (((cy >> b) & 1) << (3 * b + 1))
+                | (((cz >> b) & 1) << (3 * b)))
+    return code
+
+
+def bin_key(o3, d3, lo, inv_extent, cells_log2: int = 3,
+            mode: str = "cell_oct"):
+    """Coherence key for secondary/shadow ray re-binning (VERDICT r04
+    item 1b): rays sharing a key traverse near-identical cluster sets, so
+    sorting a live buffer by it shrinks each 1024-ray trace block's
+    front-to-back cluster union toward the per-ray chain length — without
+    any per-lane gather beyond the re-pack's one row gather.
+
+    o3/d3: component triples ([cap]); lo / inv_extent: scene AABB lower
+    corner and 1/extent ([3], traced); cells_log2: bits per axis of the
+    origin cell grid; mode: key composition —
+      cell_oct: Morton(cell) major, direction octant minor (default:
+                shadow fans share origins, not directions);
+      oct_cell: octant major (groups by direction first);
+      cell:     origin cell only;
+      oct:      direction octant only."""
+    g = 1 << cells_log2
+    cx = jnp.clip(((o3[0] - lo[0]) * inv_extent[0] * g).astype(jnp.int32),
+                  0, g - 1)
+    cy = jnp.clip(((o3[1] - lo[1]) * inv_extent[1] * g).astype(jnp.int32),
+                  0, g - 1)
+    cz = jnp.clip(((o3[2] - lo[2]) * inv_extent[2] * g).astype(jnp.int32),
+                  0, g - 1)
+    cell = _morton3(cx, cy, cz, cells_log2)
+    octant = ((d3[0] < 0.0).astype(jnp.int32) * 4
+              + (d3[1] < 0.0).astype(jnp.int32) * 2
+              + (d3[2] < 0.0).astype(jnp.int32))
+    if mode == "oct_cell":
+        return octant * (g * g * g) + cell
+    if mode == "cell":
+        return cell
+    if mode == "oct":
+        return octant
+    return cell * 8 + octant
+
+
 def expand_cols(cols, live):
     """Inverse move: 1..4 [cap] f32 columns accumulated in compact
     (live-first, order-preserving) order -> full-order columns (zeros on

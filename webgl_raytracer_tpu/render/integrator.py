@@ -1229,6 +1229,186 @@ def _wavefront_transport(scene, env, vol, flags, u, seed, origin, direction,
     return out, seed
 
 
+def _use_binned(scene, flags, n) -> bool:
+    """Route the post-primary transport through the BINNED wavefront
+    (_binned_transport): per-bounce re-packs ordered by a coherence key
+    (origin Morton cell x direction octant, compact.bin_key) instead of
+    bare live-first order. Rays sharing a key traverse near-identical
+    cluster sets, so every 1024-ray trace block's front-to-back cluster
+    union shrinks toward the per-ray chain length — the frame-level
+    fix for the block kernels' 8-70x tests/ray overshoot on secondary
+    and shadow rays (PROFILE_r03.json; VERDICT r04 item 1b).
+    WRT_BINNED=1 forces on, =0 forces off; auto = on wherever the
+    Pallas wavefront runs (raced on TPU v5e round 5, tools/race_frame.py
+    binned preset: wins at K=10 AND K=127 — see RACE_binned*.json)."""
+    import os
+
+    env = os.environ.get("WRT_BINNED")
+    if env == "0":
+        return False
+    if flags.distributed or flags.volume_enabled:
+        return False
+    if flags.tracer != "wavefront" or not flags.use_bvh:
+        return False
+    if n % 1024 != 0 or flags.max_bounces < 1:
+        return False
+    return env == "1"
+
+
+def _binned_transport(scene, env, vol, flags, u, seed, origin, direction,
+                      rec0, clip, with_stats, fallback_fn):
+    """Coherence-binned dense transport (VERDICT r04 item 1b).
+
+    Differences from _wavefront_transport, each removing a cost or adding
+    coherence:
+
+      - Re-packs PERMUTE THE WHOLE CAP BUFFER (live rows sorted by
+        compact.bin_key to the front, dead rows ride in the suffix)
+        instead of gathering live rows only. Nothing is dropped, so
+        radiance needs no per-bounce deposit/expand: it rides in the
+        buffer (columns 11-13) through every re-pack.
+      - A `home` column (14) carries each row's bounce-0 packed slot;
+        after the last bounce ONE inverse-permutation gather returns the
+        radiance to packed-0 (monotone live-first) order, and the same
+        windowed MXU expand as the other dense paths returns it to pixel
+        order. Per-bounce expand_cols deposits (2 moves x bounces) are
+        replaced by one argsort + one [cap, 4] gather total.
+      - Secondary traces AND the per-bounce 3-light shadow fan + env-NEE
+        launches all run in binned order: blocks see rays from one
+        spatial cell (and, for secondaries, one direction octant), so the
+        block-union sweep count approaches the per-ray chain length that
+        the per-ray kernels measure (169 vs 1278 tests/ray at 1k spheres).
+
+    The estimator is unchanged: re-packing permutes lanes between
+    bounces, and every per-lane quantity (RNG seed, throughput, pdf,
+    radiance) moves with its lane. Results match the unbinned paths to
+    fp reassociation of the radiance sum (tests/test_binned.py).
+
+    Knobs: WRT_BIN_CELLS (log2 cells/axis, default 3), WRT_BIN_KEY
+    (cell_oct | oct_cell | cell | oct), WRT_BIN_REPACKS (re-packs happen
+    at bounce ends < this; default all), WRT_WF_CAP_DIV (cap = n/div,
+    shared with the wavefront path)."""
+    import os
+
+    from ..ops.wavefront import _finalize_hit
+    from . import compact as CP
+
+    n = origin[0].shape[0]
+    hit = rec0.prim_slot >= 0
+    n_live = jnp.sum(hit.astype(jnp.int32))
+    div = int(os.environ.get("WRT_WF_CAP_DIV") or 8)
+    cap, _ = CP.compact_cap(n, div)
+    repack_below = int(os.environ.get("WRT_BIN_REPACKS",
+                                      str(flags.max_bounces)))
+    cells_log2 = int(os.environ.get("WRT_BIN_CELLS") or 3)
+    key_mode = os.environ.get("WRT_BIN_KEY") or "cell_oct"
+
+    def dense(_):
+        amb = V.splat(u.ambient_color)
+        env_contrib = V.scale(amb, u.ambient_intensity)
+        env_contrib = tuple(jnp.broadcast_to(c, (n,)) for c in env_contrib)
+        if flags.use_env:
+            env_contrib = V.add(env_contrib, sample_env_radiance_v3(
+                env, direction, u.env_intensity, u.env_max_luminance))
+        miss_rad = V.where(~hit, env_contrib, V.zeros_like(env_contrib[0]))
+        miss_rad = V.min_with(miss_rad, RADIANCE_CLAMP)
+
+        # Scene AABB for the spatial key (cluster padding AABBs are
+        # inverted — +BIG/-BIG — so the min/max reductions ignore them).
+        lo = jnp.min(scene.cluster_bmin, axis=0)
+        hi = jnp.max(scene.cluster_bmax, axis=0)
+        inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
+
+        # Bounce-0 pack: stable live-first (monotone — the final expand
+        # to pixel order relies on it). Primary hits are screen-coherent
+        # already; binning starts at the first re-pack, where directions
+        # are BRDF samples.
+        idx = CP.live_first_index(hit, cap)
+        packed = CP.pack_rows([seed] + list(origin) + list(direction)
+                              + [rec0.t, rec0.prim_slot])
+        rows = CP.gather_rows(packed, idx)
+        lanes = jnp.arange(cap, dtype=jnp.int32)
+        alive = lanes < n_live
+
+        seed_k = jax.lax.bitcast_convert_type(rows[:, 0], jnp.uint32)
+        o3k = (rows[:, 1], rows[:, 2], rows[:, 3])
+        d3k = (rows[:, 4], rows[:, 5], rows[:, 6])
+        t_k = rows[:, 7]
+        slot_k = jnp.where(alive,
+                           jax.lax.bitcast_convert_type(rows[:, 8], jnp.int32),
+                           -1)
+        tmin_k = jnp.broadcast_to(u.t_min, (cap,)).astype(jnp.float32)
+        rec_k = _finalize_hit(scene, o3k, d3k, tmin_k, clip, t_k, slot_k,
+                              cost=jnp.zeros_like(slot_k),
+                              refine_sphere_t=True)
+
+        step = _make_bounce_step(scene, env, vol, flags, u, cap)
+        ones_c = jnp.ones((cap,), jnp.float32)
+        zeros_c = jnp.zeros((cap,), jnp.float32)
+        carry = (seed_k, o3k[0], o3k[1], o3k[2], d3k[0], d3k[1], d3k[2],
+                 ones_c, ones_c.copy(), ones_c.copy(),
+                 zeros_c, zeros_c.copy(), zeros_c.copy(),
+                 jnp.zeros((cap,), jnp.float32), alive,
+                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        home = lanes
+
+        for b in range(flags.max_bounces):
+            if b == 0:
+                carry = step(jnp.int32(0), carry, first_rec=rec_k)
+            else:
+                carry = jax.lax.cond(
+                    jnp.any(carry[14]),
+                    lambda c, b=b: step(jnp.int32(b), c, static_bounce=b),
+                    lambda c: c, carry)
+            if b < flags.max_bounces - 1 and b < repack_below:
+                alive_cur = carry[14]
+                key = CP.bin_key((carry[1], carry[2], carry[3]),
+                                 (carry[4], carry[5], carry[6]),
+                                 lo, inv_extent, cells_log2, key_mode)
+                key = jnp.where(alive_cur, key, jnp.int32(1) << 28)
+                order = jnp.argsort(key, stable=True)
+                packed_b = CP.pack_rows([
+                    carry[0], carry[1], carry[2], carry[3],
+                    carry[4], carry[5], carry[6],
+                    carry[7], carry[8], carry[9], carry[13],
+                    carry[10], carry[11], carry[12], home])
+                rows_b = CP.gather_rows_perm(packed_b, order)
+                n_live_b = jnp.sum(alive_cur.astype(jnp.int32))
+                carry = (
+                    jax.lax.bitcast_convert_type(rows_b[:, 0], jnp.uint32),
+                    rows_b[:, 1], rows_b[:, 2], rows_b[:, 3],
+                    rows_b[:, 4], rows_b[:, 5], rows_b[:, 6],
+                    rows_b[:, 7], rows_b[:, 8], rows_b[:, 9],
+                    rows_b[:, 11], rows_b[:, 12], rows_b[:, 13],
+                    rows_b[:, 10], lanes < n_live_b,
+                    carry[15], carry[16])
+                home = jax.lax.bitcast_convert_type(rows_b[:, 14], jnp.int32)
+
+        # ONE inverse move: binned order -> packed-0 order, then the
+        # monotone window expand to pixel order.
+        back = jnp.argsort(home, stable=True)
+        rad_rows = jnp.stack([carry[10], carry[11], carry[12],
+                              jnp.zeros_like(carry[10])], axis=1)
+        rad0 = CP.gather_rows_perm(rad_rows, back)
+        rad_c = V.min_with((rad0[:, 0], rad0[:, 1], rad0[:, 2]),
+                           RADIANCE_CLAMP)
+        radiance = V.add(miss_rad, CP.expand_cols(rad_c, hit))
+        if with_stats:
+            return radiance, (carry[15] + (n - n_live), carry[16])
+        return radiance
+
+    def fallback(_):
+        out = fallback_fn()
+        if with_stats:
+            return out[0], out[2]
+        return out[0]
+
+    out = jax.lax.cond(n_live <= cap, dense, fallback, None)
+    if with_stats:
+        return out[0], seed, out[1]
+    return out, seed
+
+
 def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
                      with_stats=False):
     """One full path-traced sample for every pixel.
@@ -1284,6 +1464,11 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
         return _run_permuted(scene, env, vol, flags, u, seed, origin,
                              direction, rec0, attrs0, use_attrs, slim0,
                              clip, chunks, with_stats)
+
+    if slim0 and not use_attrs and _use_binned(scene, flags, n):
+        return _binned_transport(scene, env, vol, flags, u, seed, origin,
+                                 direction, rec0, clip, with_stats,
+                                 _permuted_transport)
 
     if slim0 and not use_attrs and _use_wavefront(scene, flags, n):
         return _wavefront_transport(scene, env, vol, flags, u, seed, origin,
