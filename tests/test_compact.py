@@ -234,7 +234,8 @@ def test_frame_binned_key_modes_and_repacks(frame_env):
     img_p = frame_env({"WRT_BINNED": "0", "WRT_COMPACT": "0"})
     for knobs in ({"WRT_BIN_KEY": "oct_cell"}, {"WRT_BIN_KEY": "cell"},
                   {"WRT_BIN_KEY": "oct"}, {"WRT_BIN_REPACKS": "1"},
-                  {"WRT_BIN_REPACKS": "0"}, {"WRT_BIN_CELLS": "2"}):
+                  {"WRT_BIN_REPACKS": "0"}, {"WRT_BIN_CELLS": "2"},
+                  {"WRT_BIN_CHUNK": "1024", "WRT_WF_CAP_DIV": "2"}):
         img = frame_env(dict(knobs, WRT_BINNED="1", WRT_COMPACT="0"))
         np.testing.assert_array_equal(img, img_p)
 

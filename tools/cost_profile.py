@@ -110,6 +110,27 @@ def main() -> None:
         "dense_shadow": (take(so3), take(sd3), None, "any"),
     }
 
+    # Coherence-binned variants of the dense batches: the SAME rays
+    # sorted by compact.bin_key (origin Morton cell x direction octant) —
+    # the _binned_transport's re-pack order. The block kernels' union
+    # cost on these orders is exactly what the binned transport pays.
+    from webgl_raytracer_tpu.render import compact as CP
+
+    lo = jnp.min(scene.cluster_bmin, axis=0)
+    hi = jnp.max(scene.cluster_bmax, axis=0)
+    inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
+
+    def binned(o, d, mode):
+        key = CP.bin_key(o, d, lo, inv_extent, 3, mode)
+        order = jnp.argsort(key, stable=True)
+        return (tuple(o[i][order] for i in range(3)),
+                tuple(d[i][order] for i in range(3)))
+
+    bso, bsd = binned(take(bo3), take(bd3), "cell_oct")
+    pops["binned_secondary"] = (bso, bsd, None, "closest")
+    boo, bod = binned(take(so3), take(sd3), "cell")
+    pops["binned_shadow"] = (boo, bod, None, "any")
+
     variants = [False] + ([True] if args.perray
                           and PS.perray_supported(scene) else [])
     report = {"scene": args.pdb_file or args.molecule or args.scene,

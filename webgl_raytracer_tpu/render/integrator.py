@@ -1287,7 +1287,8 @@ def _binned_transport(scene, env, vol, flags, u, seed, origin, direction,
     Knobs: WRT_BIN_CELLS (log2 cells/axis, default 3), WRT_BIN_KEY
     (cell_oct | oct_cell | cell | oct), WRT_BIN_REPACKS (re-packs happen
     at bounce ends < this; default all), WRT_WF_CAP_DIV (cap = n/div,
-    shared with the wavefront path)."""
+    shared with the wavefront path), WRT_BIN_CHUNK (bounce-scan chunk
+    over the cap buffer; all-dead suffix chunks skip the bounce)."""
     import os
 
     from ..ops.wavefront import _finalize_hit
@@ -1342,7 +1343,19 @@ def _binned_transport(scene, env, vol, flags, u, seed, origin, direction,
                               cost=jnp.zeros_like(slot_k),
                               refine_sphere_t=True)
 
-        step = _make_bounce_step(scene, env, vol, flags, u, cap)
+        # Bounce steps run as a CHUNKED scan over the cap buffer: live
+        # lanes are a dense prefix after every re-pack, so all-dead
+        # suffix chunks skip the whole bounce (trace AND shading) via the
+        # step's own any(alive) conds — localized per chunk instead of
+        # evaluated over the full cap. WRT_BIN_CHUNK tunes the chunk; it
+        # divides cap by construction (compact_cap rounds to chunks).
+        csize = min(int(os.environ.get("WRT_BIN_CHUNK")
+                        or os.environ.get("WRT_COMPACT_CHUNK") or 65536),
+                    cap)
+        nchunks = cap // csize if cap % csize == 0 else 1
+        csize = cap // nchunks
+        step = _make_bounce_step(scene, env, vol, flags, u, csize)
+
         ones_c = jnp.ones((cap,), jnp.float32)
         zeros_c = jnp.zeros((cap,), jnp.float32)
         carry = (seed_k, o3k[0], o3k[1], o3k[2], d3k[0], d3k[1], d3k[2],
@@ -1352,13 +1365,34 @@ def _binned_transport(scene, env, vol, flags, u, seed, origin, direction,
                  jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
         home = lanes
 
+        def run_bounce(b, carry, rec=None):
+            arrays, nr, no = carry[:15], carry[15], carry[16]
+            resh = tuple(a.reshape(nchunks, csize) for a in arrays)
+            xs = resh if rec is None else (
+                resh, jax.tree_util.tree_map(
+                    lambda a: a.reshape((nchunks, csize) + a.shape[1:]),
+                    rec))
+
+            def chunk_fn(args):
+                ar, rec_c = (args, None) if rec is None else args
+                c = tuple(ar) + (jnp.zeros((), jnp.int32),
+                                 jnp.zeros((), jnp.int32))
+                out = step(jnp.int32(b), c, static_bounce=b,
+                           first_rec=rec_c)
+                return out[:15], (out[15], out[16])
+
+            outs, deltas = jax.lax.map(chunk_fn, xs)
+            arrays = tuple(a.reshape(cap) for a in outs)
+            return arrays + (nr + jnp.sum(deltas[0]),
+                             no + jnp.sum(deltas[1]))
+
         for b in range(flags.max_bounces):
             if b == 0:
-                carry = step(jnp.int32(0), carry, first_rec=rec_k)
+                carry = run_bounce(0, carry, rec=rec_k)
             else:
                 carry = jax.lax.cond(
                     jnp.any(carry[14]),
-                    lambda c, b=b: step(jnp.int32(b), c, static_bounce=b),
+                    lambda c, b=b: run_bounce(b, c),
                     lambda c: c, carry)
             if b < flags.max_bounces - 1 and b < repack_below:
                 alive_cur = carry[14]
