@@ -222,7 +222,7 @@ def test_frame_binned_bit_identical(frame_env):
     """The coherence-binned transport is a pure lane permutation — each
     lane's RNG stream, shading, and in-lane radiance accumulation are
     untouched — so the frame must be BIT-identical to the permuted path."""
-    img_b = frame_env({"WRT_BINNED": "1", "WRT_COMPACT": "0"})
+    img_b = frame_env({"WRT_BINNED": "1", "WRT_BIN_B0": "dense", "WRT_COMPACT": "0"})
     img_p = frame_env({"WRT_BINNED": "0", "WRT_COMPACT": "0"})
     assert np.isfinite(img_b).all() and img_b.max() > 0.0
     np.testing.assert_array_equal(img_b, img_p)
@@ -284,3 +284,30 @@ def test_binned_ray_stats_agree(frame_env):
 
     assert (stats({"WRT_BINNED": "1", "WRT_COMPACT": "0"})
             == stats({"WRT_COMPACT": "0"}))
+
+
+def test_frame_binned_b0perm_bit_identical(frame_env):
+    """The bounce-0-permuted binned variant (production default): bounce 0
+    runs the permuted machinery, survivors continue in-lane in the binned
+    buffer — still a pure permutation, still bit-identical."""
+    img_b = frame_env({"WRT_BINNED": "1", "WRT_BIN_B0": "permuted",
+                       "WRT_COMPACT": "0"})
+    img_p = frame_env({"WRT_BINNED": "0", "WRT_COMPACT": "0"})
+    assert np.isfinite(img_b).all() and img_b.max() > 0.0
+    np.testing.assert_array_equal(img_b, img_p)
+
+
+def test_frame_binned_b0perm_knobs(frame_env):
+    img_p = frame_env({"WRT_BINNED": "0", "WRT_COMPACT": "0"})
+    for knobs in ({"WRT_BIN_KEY": "cell_oct"}, {"WRT_BIN_REPACKS": "1"},
+                  {"WRT_BIN_CHUNK": "1024", "WRT_BIN_CAP_DIV": "2"}):
+        img = frame_env(dict(knobs, WRT_BINNED="1", WRT_BIN_B0="permuted",
+                             WRT_COMPACT="0"))
+        np.testing.assert_array_equal(img, img_p)
+
+
+def test_frame_binned_b0perm_fallback(frame_env):
+    img_f = frame_env({"WRT_BINNED": "1", "WRT_BIN_B0": "permuted",
+                       "WRT_BIN_CAP_DIV": "4096", "WRT_COMPACT": "0"})
+    img_p = frame_env({"WRT_BINNED": "0", "WRT_COMPACT": "0"})
+    np.testing.assert_array_equal(img_f, img_p)

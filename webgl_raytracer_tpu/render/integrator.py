@@ -1443,6 +1443,211 @@ def _binned_transport(scene, env, vol, flags, u, seed, origin, direction,
     return out, seed
 
 
+def _binned_b0perm_transport(scene, env, vol, flags, u, seed, origin,
+                             direction, rec0, clip, with_stats, fallback_fn):
+    """Binned transport, bounce-0-permuted variant (WRT_BIN_B0=permuted,
+    the production default — raced against the all-dense variant in
+    RACE_binned_b0.json).
+
+    The all-dense _binned_transport pays ~13 ms of pack/finalize/expand
+    movement before bounce 0 ever shades, yet bounce 0 needs no
+    coherence help: primary hits are screen-coherent and the proven
+    block-permutation chunk scan shades them for ~12 ms. So this variant
+    runs bounce 0 EXACTLY like the permuted path (one bounce of the
+    chunk scan), then packs only the bounce-0 SURVIVORS — whose next
+    rays are the divergent ones — straight from permuted order into the
+    binned buffer (key = origin cell x direction octant of the sampled
+    bounce-1 ray) and runs bounces 1+ dense and re-binned per bounce.
+
+    Radiance: bounce-0 radiance stays full-width (un-permuted with the
+    3-array block gather the permuted path already pays); the binned
+    buffer's radiance starts at ZERO and accumulates bounces 1+ in-lane,
+    coming back to pixel order through one argsort(home)+row-gather plus
+    the monotone window expand against the bounce-0 survivor mask.
+    Per-lane streams are untouched — frames are bit-identical to the
+    permuted path (tests/test_compact.py)."""
+    import os
+
+    from ..ops.wavefront import _finalize_hit
+    from . import compact as CP
+
+    n = origin[0].shape[0]
+    div = int(os.environ.get("WRT_BIN_CAP_DIV")
+              or os.environ.get("WRT_WF_CAP_DIV") or 16)
+    cap, _ = CP.compact_cap(n, div)
+    repack_below = int(os.environ.get("WRT_BIN_REPACKS",
+                                      str(flags.max_bounces)))
+    cells_log2 = int(os.environ.get("WRT_BIN_CELLS") or 3)
+    key_mode = os.environ.get("WRT_BIN_KEY") or "oct_cell"
+    csize = min(int(os.environ.get("WRT_BIN_CHUNK") or 32768), cap)
+    nchunks = cap // csize if cap % csize == 0 else 1
+    csize = cap // nchunks
+
+    # --- bounce 0: the permuted path's machinery, one bounce only ---
+    hit = rec0.prim_slot >= 0
+    blk = int(os.environ.get("WRT_PERM_G") or _PERM_BLOCK)
+    chunks = _chunk_count(n)
+    size = n // chunks
+    g = blk if (n % blk == 0 and size % blk == 0) else 1
+    if g > 1:
+        perm, inv = _tile_permutation(hit, g)
+        gatherb = lambda a: a.reshape(n // g, g)[perm].reshape(n)
+        unpermb = lambda a: a.reshape(n // g, g)[inv].reshape(n)
+    else:
+        perm, inv = _hit_first_permutation(hit)
+        gatherb = lambda a: a[perm]
+        unpermb = lambda a: a[inv]
+
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
+    state = tuple(gatherb(a) for a in
+                  (seed,) + origin + direction + (rec0.t, rec0.prim_slot,
+                                                  lane_ids))
+    state = tuple(a.reshape(chunks, size) for a in state)
+    step0 = _make_bounce_step(scene, env, vol, flags, u, size)
+
+    def b0_chunk(args):
+        seed_c = args[0]
+        o3c, d3c = args[1:4], args[4:7]
+        t_c, slot_c = args[7], args[8]
+        tmin_c = jnp.broadcast_to(u.t_min, (size,)).astype(jnp.float32)
+        rec_c = _finalize_hit(scene, o3c, d3c, tmin_c, clip, t_c, slot_c,
+                              cost=jnp.zeros_like(slot_c),
+                              refine_sphere_t=True)
+        ones_s = jnp.ones((size,), jnp.float32)
+        zeros_s = jnp.zeros((size,), jnp.float32)
+        carry0 = (seed_c, o3c[0], o3c[1], o3c[2], d3c[0], d3c[1], d3c[2],
+                  ones_s, ones_s.copy(), ones_s.copy(),
+                  zeros_s, zeros_s.copy(), zeros_s.copy(),
+                  jnp.zeros((size,), jnp.float32),
+                  jnp.ones((size,), bool),
+                  jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        out = step0(jnp.int32(0), carry0, first_rec=rec_c)
+        return out[:15] + (args[9],), (out[15], out[16])
+
+    outs, scal = jax.lax.map(b0_chunk, state)
+    outs = tuple(a.reshape(n) for a in outs)
+    nrays = jnp.sum(scal[0])
+    noccl = jnp.sum(scal[1])
+    alive_p = outs[14]                        # [n] bool, permuted order
+    home_p = outs[15]                         # [n] i32 pixel lane ids
+    rad_b0 = tuple(unpermb(outs[c]) for c in (10, 11, 12))
+    alive_pix = unpermb(alive_p)              # survivor mask, pixel order
+    n_live = jnp.sum(alive_p.astype(jnp.int32))
+
+    if flags.max_bounces == 1:
+        radiance = V.min_with(rad_b0, RADIANCE_CLAMP)
+        if with_stats:
+            return radiance, seed, (nrays, noccl)
+        return radiance, seed
+
+    # Survivors' radiance CONTINUES in-lane inside the binned buffer (their
+    # bounce-0 partials ride in the pack), so the per-lane accumulation
+    # order is exactly the permuted path's — bit-identical frames. The
+    # full-width rad_b0 contributes only lanes that died at bounce 0.
+    rad_b0 = V.where(alive_pix, V.zeros_like(rad_b0[0]), rad_b0)
+
+    def dense(_):
+        # Scene AABB for the spatial key (padding AABBs are inverted).
+        lo = jnp.min(scene.cluster_bmin, axis=0)
+        hi = jnp.max(scene.cluster_bmax, axis=0)
+        inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
+
+        key = CP.bin_key((outs[1], outs[2], outs[3]),
+                         (outs[4], outs[5], outs[6]),
+                         lo, inv_extent, cells_log2, key_mode)
+        key = jnp.where(alive_p, key, jnp.int32(1) << 28)
+        idxk = jnp.argsort(key, stable=True)[:cap]
+        home_col = jnp.where(alive_p, home_p, n)   # sentinel: sort-last
+        packed = CP.pack_rows([outs[0], outs[1], outs[2], outs[3],
+                               outs[4], outs[5], outs[6],
+                               outs[7], outs[8], outs[9], outs[13],
+                               outs[10], outs[11], outs[12],
+                               home_col])
+        rows = CP.gather_rows_perm(packed, idxk)
+        lanes = jnp.arange(cap, dtype=jnp.int32)
+        alive0c = lanes < n_live
+        zmask = alive0c.astype(jnp.float32)    # padding rows: zero radiance
+        carry = (jax.lax.bitcast_convert_type(rows[:, 0], jnp.uint32),
+                 rows[:, 1], rows[:, 2], rows[:, 3],
+                 rows[:, 4], rows[:, 5], rows[:, 6],
+                 rows[:, 7], rows[:, 8], rows[:, 9],
+                 rows[:, 11] * zmask, rows[:, 12] * zmask,
+                 rows[:, 13] * zmask,
+                 rows[:, 10], alive0c,
+                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        home = jax.lax.bitcast_convert_type(rows[:, 14], jnp.int32)
+
+        step = _make_bounce_step(scene, env, vol, flags, u, csize)
+
+        def run_bounce(b, carry):
+            arrays, nr, no = carry[:15], carry[15], carry[16]
+            resh = tuple(a.reshape(nchunks, csize) for a in arrays)
+
+            def chunk_fn(ar):
+                c = tuple(ar) + (jnp.zeros((), jnp.int32),
+                                 jnp.zeros((), jnp.int32))
+                out = step(jnp.int32(b), c, static_bounce=b)
+                return out[:15], (out[15], out[16])
+
+            chk, deltas = jax.lax.map(chunk_fn, resh)
+            arrays = tuple(a.reshape(cap) for a in chk)
+            return arrays + (nr + jnp.sum(deltas[0]),
+                             no + jnp.sum(deltas[1]))
+
+        hm = home
+        for b in range(1, flags.max_bounces):
+            carry = jax.lax.cond(
+                jnp.any(carry[14]),
+                lambda c, b=b: run_bounce(b, c),
+                lambda c: c, carry)
+            if b < flags.max_bounces - 1 and b < repack_below:
+                alive_cur = carry[14]
+                k2 = CP.bin_key((carry[1], carry[2], carry[3]),
+                                (carry[4], carry[5], carry[6]),
+                                lo, inv_extent, cells_log2, key_mode)
+                k2 = jnp.where(alive_cur, k2, jnp.int32(1) << 28)
+                order = jnp.argsort(k2, stable=True)
+                packed_b = CP.pack_rows([
+                    carry[0], carry[1], carry[2], carry[3],
+                    carry[4], carry[5], carry[6],
+                    carry[7], carry[8], carry[9], carry[13],
+                    carry[10], carry[11], carry[12], hm])
+                rows_b = CP.gather_rows_perm(packed_b, order)
+                n_live_b = jnp.sum(alive_cur.astype(jnp.int32))
+                carry = (
+                    jax.lax.bitcast_convert_type(rows_b[:, 0], jnp.uint32),
+                    rows_b[:, 1], rows_b[:, 2], rows_b[:, 3],
+                    rows_b[:, 4], rows_b[:, 5], rows_b[:, 6],
+                    rows_b[:, 7], rows_b[:, 8], rows_b[:, 9],
+                    rows_b[:, 11], rows_b[:, 12], rows_b[:, 13],
+                    rows_b[:, 10], lanes < n_live_b,
+                    carry[15], carry[16])
+                hm = jax.lax.bitcast_convert_type(rows_b[:, 14], jnp.int32)
+
+        back = jnp.argsort(hm, stable=True)
+        rad_rows = jnp.stack([carry[10], carry[11], carry[12],
+                              jnp.zeros_like(carry[10])], axis=1)
+        rad0 = CP.gather_rows_perm(rad_rows, back)
+        tail = CP.expand_cols((rad0[:, 0], rad0[:, 1], rad0[:, 2]),
+                              alive_pix)
+        radiance = V.min_with(V.add(rad_b0, tail), RADIANCE_CLAMP)
+        if with_stats:
+            return radiance, (carry[15], carry[16])
+        return radiance
+
+    def fallback(_):
+        out = fallback_fn()
+        if with_stats:
+            return out[0], out[2]
+        return out[0]
+
+    out = jax.lax.cond(n_live <= cap, dense, fallback, None)
+    if with_stats:
+        rad, (nr2, no2) = out
+        return rad, seed, (nrays + nr2, noccl + no2)
+    return out, seed
+
+
 def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
                      with_stats=False):
     """One full path-traced sample for every pixel.
@@ -1500,6 +1705,12 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
                              clip, chunks, with_stats)
 
     if slim0 and not use_attrs and _use_binned(scene, flags, n):
+        import os as _os
+
+        if _os.environ.get("WRT_BIN_B0", "permuted") == "permuted":
+            return _binned_b0perm_transport(scene, env, vol, flags, u, seed,
+                                            origin, direction, rec0, clip,
+                                            with_stats, _permuted_transport)
         return _binned_transport(scene, env, vol, flags, u, seed, origin,
                                  direction, rec0, clip, with_stats,
                                  _permuted_transport)
