@@ -151,7 +151,7 @@ def bin_key(o3, d3, lo, inv_extent, cells_log2: int = 3,
     return cell * 8 + octant
 
 
-def expand_cols(cols, live):
+def expand_cols(cols, live, gdiv: int | None = None):
     """Inverse move: 1..4 [cap] f32 columns accumulated in compact
     (live-first, order-preserving) order -> full-order columns (zeros on
     dead lanes). The k-th set bit of `live` reads compact row k.
@@ -161,29 +161,73 @@ def expand_cols(cols, live):
     that window once per group and select each lane's row with a one-hot
     MXU matmul (Precision.HIGHEST: one-hot selection is exact in the
     3-pass f32 decomposition; default-precision bf16 passes would
-    truncate the radiance)."""
+    truncate the radiance).
+
+    The one-hot tensor is the cost: [g, 128, WINDOW] f32 is ~2 GB of HBM
+    traffic at 1080p (g = 16200) and measured 13 ms as the binned
+    transport's final stage (PROFILE_binned_r05.json round 5). Since only
+    groups CONTAINING a live lane need any selection (~10-25% of groups on
+    sparse frames), the expand runs on a live-group-compacted [gcap]
+    subset and one [g]-row block gather (2 KB rows, DMA-friendly)
+    assembles the full frame from the subset plus a zero row. Exactness
+    is unchanged: the same one-hot selection runs on the selected groups,
+    dead groups read an exact zero row. Falls back to all groups via
+    lax.cond when live groups exceed gcap (= g/gdiv, WRT_EXPAND_GDIV,
+    default 4)."""
     ncols = len(cols)
     assert 1 <= ncols <= 4
     n = live.shape[0]
     g = n // 128
     cap = cols[0].shape[0]
+    rows = jnp.stack(list(cols) + [jnp.zeros_like(cols[0])] * (4 - ncols),
+                     axis=1)
     pos = jnp.cumsum(live.astype(jnp.int32)) - 1
     posg = pos.reshape(g, 128)
     base = jnp.maximum(posg[:, 0], 0)
-    win_idx = (base[:, None]
-               + jnp.arange(WINDOW, dtype=jnp.int32)[None, :]) % cap
-    rows = jnp.stack(list(cols) + [jnp.zeros_like(cols[0])] * (4 - ncols),
-                     axis=1)
-    win = jnp.take(rows, win_idx, axis=0)                # [g, 256, 4]
-    rel = posg - base[:, None]                           # [g, 128] 0..129
-    onehot = (rel[:, :, None]
-              == jnp.arange(WINDOW, dtype=jnp.int32)[None, None, :]
-              ).astype(jnp.float32)
-    out = jax.lax.dot_general(
-        onehot, win, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)             # [g, 128, 4]
-    out = jnp.where(live.reshape(g, 128)[:, :, None], out, 0.0)
+    livg = live.reshape(g, 128)
+    warange = jnp.arange(WINDOW, dtype=jnp.int32)
+
+    def select(base_s, posg_s, livg_s):
+        """One-hot window selection for a set of groups -> [gs, 128, 4]."""
+        win_idx = (base_s[:, None] + warange[None, :]) % cap
+        win = jnp.take(rows, win_idx, axis=0)            # [gs, W, 4]
+        rel = posg_s - base_s[:, None]                   # [gs, 128]
+        onehot = (rel[:, :, None] == warange[None, None, :]
+                  ).astype(jnp.float32)
+        out = jax.lax.dot_general(
+            onehot, win, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [gs, 128, 4]
+        return jnp.where(livg_s[:, :, None], out, 0.0)
+
+    if gdiv is None:
+        import os
+
+        gdiv = int(os.environ.get("WRT_EXPAND_GDIV") or 4)
+    gcap = g if gdiv <= 1 else max(8, -(-g // gdiv))
+    if gcap >= g:
+        out = select(base, posg, livg)
+        return tuple(out[:, :, c].reshape(n) for c in range(ncols))
+
+    glive = jnp.any(livg, axis=1)                        # [g]
+    n_glive = jnp.sum(glive.astype(jnp.int32))
+
+    def compacted(_):
+        gorder = jnp.argsort(~glive, stable=True)[:gcap]
+        out_s = select(base[gorder], posg[gorder], livg[gorder])
+        # group gi's subset slot = its rank among live groups (monotone,
+        # consistent with the stable argsort); dead groups read the
+        # appended zero row.
+        slot = jnp.where(glive, jnp.cumsum(glive.astype(jnp.int32)) - 1,
+                         gcap)
+        padded = jnp.concatenate(
+            [out_s, jnp.zeros((1, 128, 4), jnp.float32)], axis=0)
+        return jnp.take(padded, slot, axis=0)            # [g, 128, 4]
+
+    def full(_):
+        return select(base, posg, livg)
+
+    out = jax.lax.cond(n_glive <= gcap, compacted, full, None)
     return tuple(out[:, :, c].reshape(n) for c in range(ncols))
 
 

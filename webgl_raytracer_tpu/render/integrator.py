@@ -1445,9 +1445,9 @@ def _binned_transport(scene, env, vol, flags, u, seed, origin, direction,
 
 def _binned_b0perm_transport(scene, env, vol, flags, u, seed, origin,
                              direction, rec0, clip, with_stats, fallback_fn):
-    """Binned transport, bounce-0-permuted variant (WRT_BIN_B0=permuted,
-    the production default — raced against the all-dense variant in
-    RACE_binned_b0.json).
+    """Binned transport, bounce-0-permuted variant (WRT_BIN_B0=permuted;
+    raced against the all-dense variant and LOST — RACE_binned_b0_1k.json,
+    80.6 vs 62.7 ms at 1k spheres — kept as an A/B knob).
 
     The all-dense _binned_transport pays ~13 ms of pack/finalize/expand
     movement before bounce 0 ever shades, yet bounce 0 needs no
@@ -1707,7 +1707,12 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
     if slim0 and not use_attrs and _use_binned(scene, flags, n):
         import os as _os
 
-        if _os.environ.get("WRT_BIN_B0", "permuted") == "permuted":
+        # WRT_BIN_B0=permuted routes bounce 0 through the block-permuted
+        # chunk scan instead of the dense buffer. RACED AND LOST on TPU
+        # v5e (RACE_binned_b0_1k.json: 80.6 vs dense 62.7 ms) — the dense
+        # bounce 0 is already cheap and the permuted machinery adds a
+        # full-width carry materialization; kept as an A/B knob.
+        if _os.environ.get("WRT_BIN_B0", "dense") == "permuted":
             return _binned_b0perm_transport(scene, env, vol, flags, u, seed,
                                             origin, direction, rec0, clip,
                                             with_stats, _permuted_transport)
