@@ -178,6 +178,18 @@ def bench_scene(spec: str, frames: int, reps: int):
     return dt * 1000.0, path_rays, occl_rays
 
 
+# Per-scene binned-transport cap hints (WRT_BIN_CAP_DIV): the compaction
+# cap must exceed the scene's live-ray count or frames route through the
+# lax.cond fallback. Hit fractions are deterministic per scene/camera
+# (PROFILE_r03.json: 4.7% at 1k, 8.2% at 10k), so the bench pins the
+# raced divisor per leg; production uses the n/12 default.
+_LEG_ENV = {
+    "1000": {"WRT_BIN_CAP_DIV": "16"},
+    "10000": {"WRT_BIN_CAP_DIV": "12"},
+    "150000": {"WRT_BIN_CAP_DIV": "6"},
+}
+
+
 def _scene_leg(spec: str, frames: int, reps: int, timeout_s: float):
     """One scene's measurement in its OWN subprocess (cross-leg state on
     the axon tunnel corrupted an in-process timing once — STATUS round 3).
@@ -188,10 +200,13 @@ def _scene_leg(spec: str, frames: int, reps: int, timeout_s: float):
     if timeout_s < 30.0:
         return {"skipped": "budget"}
     env = dict(os.environ)
-    # Cross-frame pooling (render/frame.py): semantically equivalent
-    # progressive rendering, raced on-chip in RACE_pool.json (pool=3
-    # 108.1 vs unpooled 110.0 ms on the headline scene).
-    env.setdefault("WRT_POOL", "3")
+    # Cross-frame pooling (WRT_POOL, render/frame.py) is OFF for bench
+    # legs as of round 5: it won ~2% on the round-4 permuted transport
+    # (RACE_pool.json) but REGRESSES the binned transport 1.26x
+    # (RACE_binned_fine_1k.json pool3 79.6 vs 63.2 ms) — the binned
+    # path's movement stages scale with the pooled batch width.
+    for k, v in _LEG_ENV.get(spec, {}).items():
+        env.setdefault(k, v)
     try:
         out = subprocess.run(
             [sys.executable, __file__, "--leg", spec, str(frames),

@@ -1238,9 +1238,11 @@ def _use_binned(scene, flags, n) -> bool:
     union shrinks toward the per-ray chain length — the frame-level
     fix for the block kernels' 8-70x tests/ray overshoot on secondary
     and shadow rays (PROFILE_r03.json; VERDICT r04 item 1b).
-    WRT_BINNED=1 forces on, =0 forces off; auto = on wherever the
-    Pallas wavefront runs (raced on TPU v5e round 5, tools/race_frame.py
-    binned preset: wins at K=10 AND K=127 — see RACE_binned*.json)."""
+    WRT_BINNED=1 forces on, =0 forces off; auto = ON wherever the Pallas
+    wavefront runs — raced on TPU v5e round 5 (tools/race_frame.py,
+    RACE_binned_*.json): 1k spheres 51.0 vs 101.4 ms permuted (2.0x, the
+    transport the round-4 build shipped), 10k spheres vs the wavefront
+    transport in RACE_binned_10k.json."""
     import os
 
     env = os.environ.get("WRT_BINNED")
@@ -1252,7 +1254,11 @@ def _use_binned(scene, flags, n) -> bool:
         return False
     if n % 1024 != 0 or flags.max_bounces < 1:
         return False
-    return env == "1"
+    if env == "1":
+        return True
+    from ..ops.wavefront import _pallas_auto
+
+    return _pallas_auto(scene, None, True)
 
 
 def _binned_transport(scene, env, vol, flags, u, seed, origin, direction,
@@ -1297,12 +1303,21 @@ def _binned_transport(scene, env, vol, flags, u, seed, origin, direction,
     n = origin[0].shape[0]
     hit = rec0.prim_slot >= 0
     n_live = jnp.sum(hit.astype(jnp.int32))
-    div = int(os.environ.get("WRT_WF_CAP_DIV") or 8)
+    # Raced defaults (TPU v5e round 5, RACE_binned_div_1k.json /
+    # RACE_binned_fine_1k.json): cap = n/16 raced best at 1k spheres
+    # (n/8 measured 113 vs 64 ms; bigger caps widen every dense stage),
+    # but the PRODUCTION default is n/12 — the 10k scene's 8.2% hit
+    # fraction (~170k live at 1080p) overflows an n/16 cap and would
+    # route every frame through the fallback. Scenes with a known hit
+    # fraction (bench legs) pin WRT_BIN_CAP_DIV per scene. The lax.cond
+    # fallback keeps high-hit-fraction frames correct either way.
+    div = int(os.environ.get("WRT_BIN_CAP_DIV")
+              or os.environ.get("WRT_WF_CAP_DIV") or 12)
     cap, _ = CP.compact_cap(n, div)
     repack_below = int(os.environ.get("WRT_BIN_REPACKS",
                                       str(flags.max_bounces)))
     cells_log2 = int(os.environ.get("WRT_BIN_CELLS") or 3)
-    key_mode = os.environ.get("WRT_BIN_KEY") or "cell_oct"
+    key_mode = os.environ.get("WRT_BIN_KEY") or "oct_cell"
 
     def dense(_):
         amb = V.splat(u.ambient_color)
@@ -1350,7 +1365,7 @@ def _binned_transport(scene, env, vol, flags, u, seed, origin, direction,
         # evaluated over the full cap. WRT_BIN_CHUNK tunes the chunk; it
         # divides cap by construction (compact_cap rounds to chunks).
         csize = min(int(os.environ.get("WRT_BIN_CHUNK")
-                        or os.environ.get("WRT_COMPACT_CHUNK") or 65536),
+                        or os.environ.get("WRT_COMPACT_CHUNK") or 32768),
                     cap)
         nchunks = cap // csize if cap % csize == 0 else 1
         csize = cap // nchunks
