@@ -67,9 +67,18 @@ def compact_cap(n: int, div: int = 8) -> tuple[int, int]:
 
 def live_first_index(live, cap: int):
     """[cap] i32 lane ids: the live lanes in ascending order, then
-    (arbitrary, valid) miss-lane ids as padding. Stable argsort keeps
-    the order consistent with cumsum(live)-1, which expand_triple
-    relies on."""
+    (arbitrary, valid) lane ids as padding. Stable argsort keeps the
+    order consistent with cumsum(live)-1, which expand_triple relies
+    on. WRT_IDX=nonzero swaps in jnp.nonzero(size=cap) — same ascending
+    live prefix, lane-0 padding (padding rows are masked by the
+    callers' alive = lanes < n_live prefix masks either way); raced vs
+    the argsort on TPU v5e."""
+    import os
+
+    if os.environ.get("WRT_IDX") == "nonzero":
+        n = live.shape[0]
+        return jnp.nonzero(live, size=cap,
+                           fill_value=n - 1)[0].astype(jnp.int32)
     return jnp.argsort(~live, stable=True)[:cap]
 
 
@@ -91,8 +100,13 @@ def pack_rows(cols):
 
 def gather_rows(packed, idx):
     """[cap, 16] <- packed[idx]; idx from live_first_index is sorted and
-    unique (hints let XLA skip bounds/dedup work)."""
-    return jnp.take(packed, idx, axis=0, unique_indices=True,
+    unique (hints let XLA skip bounds/dedup work). The WRT_IDX=nonzero
+    index repeats its padding lane, so the unique hint is dropped there
+    (harmless for a gather, but keep the hints honest)."""
+    import os
+
+    unique = os.environ.get("WRT_IDX") != "nonzero"
+    return jnp.take(packed, idx, axis=0, unique_indices=unique,
                     indices_are_sorted=True)
 
 
