@@ -126,9 +126,10 @@ def main() -> None:
         return (tuple(o[i][order] for i in range(3)),
                 tuple(d[i][order] for i in range(3)))
 
-    bso, bsd = binned(take(bo3), take(bd3), "cell_oct")
+    key_mode = os.environ.get("WRT_BIN_KEY") or "oct_cell"
+    bso, bsd = binned(take(bo3), take(bd3), key_mode)
     pops["binned_secondary"] = (bso, bsd, None, "closest")
-    boo, bod = binned(take(so3), take(sd3), "cell")
+    boo, bod = binned(take(so3), take(sd3), key_mode)
     pops["binned_shadow"] = (boo, bod, None, "any")
 
     variants = [False] + ([True] if args.perray

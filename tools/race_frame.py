@@ -157,4 +157,5 @@ if __name__ == "__main__":
             label = preset
         frames = int(args[0]) if args else 12
         reps = int(args[1]) if len(args) > 1 else 2
-        matrix(variants, label, frames, reps)
+        rounds = int(args[2]) if len(args) > 2 else 2
+        matrix(variants, label, frames, reps, rounds=rounds)

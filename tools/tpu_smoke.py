@@ -3,7 +3,7 @@
 kernels against the pure-XLA paths on the real chip and assert equivalence.
 
 The pytest suite exercises the kernels only under interpret=True on the CPU
-mesh (tests/test_pallas.py, tests/test_pallas_path.py); Mosaic compilation
+mesh (tests/test_pallas.py); Mosaic compilation
 differences (precision, lane stores, layout quirks) only show up on
 hardware. This script is that missing lane — run it whenever kernels
 change:
@@ -15,9 +15,8 @@ Checks:
   1. traversal kernel closest-hit vs the XLA wavefront sweep — all prim
      types, t and winning-row agreement;
   2. traversal kernel any-hit vs XLA (shadow predicate semantics);
-  3. path megakernel frame vs the XLA integrator frame (decision-flip
-     tolerant: both consume the same RNG stream, so mismatches beyond
-     f32 noise fail);
+  3. binned (production) transport frame vs the permuted transport frame,
+     compiled on chip — must be bit-identical (pure lane permutation);
   4. (unless --fast) a timing probe on the 1000-sphere bench scene.
 
 Exit code 0 = all equivalences hold on this chip.
@@ -106,9 +105,11 @@ def main() -> int:
     agree = (any_k == any_x).mean()
     check("any-hit kernel vs XLA", agree > 0.999, f"agreement {agree:.4f}")
 
-    # --- 3: path megakernel frame vs XLA integrator frame -----------------
-    from webgl_raytracer_tpu.ops import pallas_path as PP
-
+    # --- 3: binned transport vs permuted transport, COMPILED on chip ------
+    # (replaced the deleted path-megakernel leg, round 5: the binned
+    # transport is the production default and must reproduce the permuted
+    # frame bit-for-bit on the real compiled kernels, not just in the CPU
+    # interpret-mode tests.)
     r = Renderer(loaded.scene, width=96, height=96)
     r.settings.tone_map = "linear"
     basis = r.camera.basis()
@@ -116,23 +117,23 @@ def main() -> int:
         r.settings, basis, light_dirs_for_camera(r.settings.lights, basis),
         has_env=False, has_volume=False, clip=None)
     px, py = r._pixel_grids()
-    if PP.supports(r.scene, flags, None, None):
-        os.environ["WRT_NO_MEGAKERNEL"] = "1"
-        rad_x, _ = jax.jit(lambda u, px, py: _sample_radiance(
-            r.scene, None, None, flags, u, px, py, jnp.uint32(0), 0))(u, px, py)
-        del os.environ["WRT_NO_MEGAKERNEL"]
-        rad_m, _ = jax.jit(lambda u, px, py: PP.render_sample(
-            r.scene, flags, u, px, py, jnp.uint32(0), 0))(u, px, py)
-        a = np.stack([np.asarray(c) for c in rad_x], -1)
-        b = np.stack([np.asarray(c) for c in rad_m], -1)
-        diff = np.abs(a - b).max(-1)
-        flips = float((diff > 0.01).mean())
-        keep = diff <= 0.01
-        rmse = float(np.sqrt(np.mean((a - b)[keep] ** 2))) if keep.any() else 1.0
-        check("path megakernel vs XLA integrator", rmse < 1e-3 and flips < 0.01,
-              f"robust rmse {rmse:.2e}, flips {flips:.4f}")
-    else:
-        check("path megakernel support", False, "supports() returned False")
+
+    def frame_with(knobs):
+        os.environ.update(knobs)
+        try:
+            rad, _ = jax.jit(lambda u, px, py: _sample_radiance(
+                r.scene, None, None, flags, u, px, py, jnp.uint32(0), 0))(
+                    u, px, py)
+            return np.stack([np.asarray(c) for c in rad], -1)
+        finally:
+            for k in knobs:
+                del os.environ[k]
+
+    a = frame_with({"WRT_BINNED": "1", "WRT_CHUNKS": "3"})
+    b = frame_with({"WRT_BINNED": "0", "WRT_CHUNKS": "3"})
+    same = float((a == b).mean())
+    check("binned vs permuted transport (compiled)", same == 1.0,
+          f"bit-identical fraction {same:.6f}")
 
     # --- 3b: large-scene (multi-group, >131k prims) kernel lane -----------
     big = load_random_spheres(150000)

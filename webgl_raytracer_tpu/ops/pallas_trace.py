@@ -521,8 +521,7 @@ def _make_closest_attrs_kernel(types, kpad, clip_on=False):
     the block's candidates to a per-ray winner and extracts the winning
     primitive's 32-column attribute row (12 SoA values ++ color ++ tri
     vertex normals ++ flag ++ flat slot, see _attr_operand) via a one-hot
-    [BLOCK, 128] x [128, 32] MXU matmul — the same machinery the path
-    megakernel uses (ops/pallas_path._trace_closest_attrs). The XLA
+    [BLOCK, 128] x [128, 32] MXU matmul. The XLA
     alternative is a per-lane [B, 12] row gather after the trace
     (wavefront._finalize_hit), which is the TPU's slow path: ~26 ms per
     1080p frame of random-access gathers that this kernel replaces with
@@ -595,11 +594,43 @@ def _make_closest_attrs_kernel(types, kpad, clip_on=False):
     return kernel
 
 
+AROWS = 16
+
+
+def build_attr_soa(num_clusters, cluster_size, cluster_prims, cluster_color,
+                   tri_normals, tri_flags, tri_count):
+    """[K, C, 16] prim-major shading attributes aligned with cluster_prims:
+    color rgb (cols 0-2), tri vertex normals n0/n1/n2 (3-11), tri flag (12).
+    Prim-major so the attrs kernel's one-hot [B,128]x[128,32] matmul reads
+    it as the right operand directly (Mosaic crashes on transposed
+    contractions). Host NumPy; called once by scene.compile.compile_scene.
+    (Moved here from the deleted path megakernel, round 5.)"""
+    k, c = num_clusters, cluster_size
+    prims = np.asarray(cluster_prims)                # [K, C, 12]
+    colors = np.asarray(cluster_color).reshape(k, c, 3)
+    attr = np.zeros((k, c, AROWS), np.float32)
+    attr[:, :, 0:3] = colors
+    if tri_count:
+        ptype = prims[..., 11]
+        local = prims[..., 7].astype(np.int32)
+        tri_m = ptype == PRIM_TRIANGLE
+        tn = np.asarray(tri_normals)                 # [Nt, 3, 3]
+        tf = np.asarray(tri_flags)
+        li = np.clip(local, 0, tn.shape[0] - 1)
+        kk, cc = np.nonzero(tri_m)
+        l2 = li[kk, cc]
+        attr[kk, cc, 3:6] = tn[l2, 0]
+        attr[kk, cc, 6:9] = tn[l2, 1]
+        attr[kk, cc, 9:12] = tn[l2, 2]
+        attr[kk, cc, 12] = tf[l2]
+    return attr
+
+
 def _attr_operand(scene):
     """Prim-major one-hot attribute table [K*C, 32] for the attrs kernel:
     cols 0-11 the traversal row (cluster_prims, GLOBAL coordinates),
     12-27 the shading attrs (color rgb, tri vertex normals, flag — see
-    pallas_path.build_attr_soa), 28 the flat prim slot as f32 (exact to
+    build_attr_soa), 28 the flat prim slot as f32 (exact to
     2^24; MAX_CLUSTERS*128 = 524k), 29-31 pad."""
     k = scene.num_clusters
     c = scene.cluster_size

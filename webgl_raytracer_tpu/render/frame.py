@@ -95,9 +95,8 @@ def _frame_pool(flags, count: int, n: int) -> int:
 
     pool = int(os.environ.get("WRT_POOL", "1"))
     if (pool <= 1 or count % pool or flags.vis_mode > 0
-            or flags.tracer != "wavefront" or flags.distributed
-            or os.environ.get("WRT_MEGAKERNEL")):
-        return 1   # the megakernel's in-kernel ray gen takes a scalar frame
+            or flags.tracer != "wavefront" or flags.distributed):
+        return 1
     return pool
 
 

@@ -897,24 +897,6 @@ def _tile_permutation(hit, g):
     return perm, inv
 
 
-def _use_megakernel(scene, env, vol, flags):
-    """Route eligible frames through the single-launch path megakernel
-    (ops/pallas_path.py). Opt-in via WRT_MEGAKERNEL=1: measured on TPU v5e
-    (tools/bench_paths.py, 1000-sphere 1080p) the megakernel runs 1.5x
-    slower than the compacting multi-launch integrator because blocks keep
-    sweeping while any lane lives — the multi-launch path's hit-first
-    compaction wins until in-kernel visits get cheaper."""
-    import os
-
-    if os.environ.get("WRT_NO_MEGAKERNEL") or not os.environ.get("WRT_MEGAKERNEL"):
-        return False
-    from ..ops import pallas_path as PP
-    from ..ops.wavefront import pallas_forced_interpret
-
-    return PP.supports(scene, flags, env, vol) and (
-        jax.default_backend() == "tpu" or pallas_forced_interpret())
-
-
 # Cluster count from which the compacted transport beats the block
 # permutation. Raced on TPU v5e (tools/bench_compact.py, 1080p, round 3):
 # at K=10 (1000 spheres) compact LOSES everywhere (best 117.2 vs 112.7 ms
@@ -1667,27 +1649,15 @@ def _sample_radiance(scene, env, vol, flags, u, px, py, frame_index, s,
                      with_stats=False):
     """One full path-traced sample for every pixel.
 
-    Fast path: the Pallas megakernel traces the whole transport (ray gen,
-    bounce loop, shadows, RR) in one launch per 1024-ray screen block —
-    no permutation or chunk scan needed, background blocks exit in-kernel.
-    Fallback (env/volume/distributed/vis/big-scene): hit-first compaction —
-    primaries trace unchunked, rays are stably partitioned so hits are
-    contiguous, and the remaining transport runs as a chunk scan where
-    all-miss chunks skip everything past the environment lookup."""
-    if _use_megakernel(scene, env, vol, flags):
-        from ..ops import pallas_path as PP
-        from ..ops.wavefront import pallas_forced_interpret
-
-        radiance, nrays = PP.render_sample(scene, flags, u, px, py,
-                                           frame_index, s,
-                                           with_stats=with_stats,
-                                           interpret=pallas_forced_interpret())
-        if with_stats:
-            # The megakernel counts path segments and shadow candidates
-            # in-kernel (si_ref rows 1/2).
-            return radiance, jnp.zeros((), jnp.uint32), nrays
-        return radiance, jnp.zeros((), jnp.uint32)
-
+    Production path: full-width primary trace, then the coherence-binned
+    dense transport (_binned_transport) wherever the Pallas kernels run.
+    Fallbacks (distributed/volume/small-frame/over-cap): the hit-first
+    block-permutation chunk scan (_run_permuted). A single-launch path
+    MEGAKERNEL (whole transport per 1024-ray block, one Pallas program)
+    was built in round 2, frozen in round 3, and DELETED in round 5 after
+    losing its final race 5.1x (RACE_knobs_final_1k.json: 269.0 vs 53.0
+    ms at 1k spheres 1080p) — the post-mortem survives in
+    docs/ARCHITECTURE.md."""
     seed, origin, direction = generate_camera_rays(u, flags, px, py, frame_index, s)
     n = px.shape[0]
     chunks = 1 if flags.distributed else _chunk_count(n)

@@ -84,8 +84,9 @@ class SceneBuffers:
     cluster_color: np.ndarray = None    # f32[K*C,3]
     cluster_bmin: np.ndarray = None     # f32[K,3]
     cluster_bmax: np.ndarray = None     # f32[K,3]
-    # Shading-attribute SoA for the path megakernel (ops/pallas_path.py):
-    # per cluster, rows = color rgb | tri vertex normals | tri flag.
+    # Shading-attribute SoA for the attrs traversal kernels
+    # (ops/pallas_trace.py _attr_operand): per cluster, rows =
+    # color rgb | tri vertex normals | tri flag.
     cluster_attr: np.ndarray = None     # f32[K,16,C]
 
     tri_count: int = field(metadata=dict(static=True), default=0)
@@ -212,7 +213,7 @@ def compile_scene(
 
     cl = _build_clusters(geometry, tv, tc, cluster_size, nt, ns)
 
-    from ..ops.pallas_path import build_attr_soa
+    from ..ops.pallas_trace import build_attr_soa
 
     cluster_attr = build_attr_soa(cl[0].shape[0], cluster_size, cl[0], cl[1],
                                   tn, tf, nt)
