@@ -330,9 +330,14 @@ def main() -> None:
 
     # Headline leg first — everything else is optional detail.
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    # Give the headline leg AT MOST half the budget per attempt, and retry
+    # once: the axon tunnel exhibits multi-minute full stalls (observed up
+    # to ~35 min round 5); an attempt that dies inside a stall window must
+    # not consume the whole budget, and the retry both rides out short
+    # stalls and compiles from the persistent cache.
     leg_1k = _scene_leg("1000", frames, reps=4,
-                        timeout_s=max(_remaining() - 10.0, 30.0))
-    if "ms" in leg_1k and not _plausible(leg_1k):
+                        timeout_s=max(_remaining() / 2 - 10.0, 30.0))
+    if "ms" not in leg_1k or not _plausible(leg_1k):
         leg_1k = _scene_leg("1000", frames, reps=4,
                             timeout_s=max(_remaining() - 10.0, 30.0))
     if "ms" not in leg_1k or not _plausible(leg_1k):
